@@ -1,0 +1,126 @@
+"""Retrieval metrics engine (reference benchmark_utils.evaluate_retrieval
+:619-832).
+
+The reference fans out one query at a time over a ``multiprocessing.Pool``
+(:737-820) because its retrieval is CPU-bound per query; here the retrieval
+itself is batched on device, so the metrics reduce to vectorized numpy over
+the (B, K) retrieved-id matrix — no process pool, no per-query error
+plumbing.  Metric definitions preserved: recall@k / MRR@k / nDCG@k for
+k in {2, 3, 5, 10, 20, 50, 100} capped at top_k (:619-661), plus total
+``time_taken`` and mean ``avg_latency_ms``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+K_VALUES = (2, 3, 5, 10, 20, 50, 100)  # reference benchmark_utils.py:621
+
+
+def ranks_of_targets(retrieved_ids: np.ndarray,
+                     target_ids: np.ndarray) -> np.ndarray:
+    """1-based rank of each query's gold id within its retrieved row;
+    0 where absent.  retrieved_ids: (B, K) (-1 padding ok), target_ids: (B,)."""
+    hits = retrieved_ids == target_ids[:, None]
+    any_hit = hits.any(axis=1)
+    first = hits.argmax(axis=1) + 1
+    return np.where(any_hit, first, 0)
+
+
+def retrieval_metrics(retrieved_ids: np.ndarray, target_ids: np.ndarray,
+                      top_k: int,
+                      k_values: Sequence[int] = K_VALUES) -> dict:
+    """recall@k / MRR@k / nDCG@k with a single gold per query (the QQP and
+    MS-MARCO setups both have exactly one target passage)."""
+    ranks = ranks_of_targets(np.asarray(retrieved_ids),
+                             np.asarray(target_ids))
+    out: dict = {"num_queries": int(len(ranks))}
+    for k in k_values:
+        if k > top_k:
+            continue
+        in_k = (ranks > 0) & (ranks <= k)
+        out[f"recall@{k}"] = float(in_k.mean())
+        out[f"mrr@{k}"] = float(np.where(in_k, 1.0 / np.maximum(ranks, 1),
+                                         0.0).mean())
+        # single-relevant nDCG: DCG = 1/log2(1+rank), IDCG = 1
+        out[f"ndcg@{k}"] = float(
+            np.where(in_k, 1.0 / np.log2(1.0 + np.maximum(ranks, 1)),
+                     0.0).mean()
+        )
+    return out
+
+
+def evaluate_retrieval(name: str, retrieve_fn, query_embs: np.ndarray,
+                       target_ids: np.ndarray, top_k: int,
+                       batch_size: int = 256,
+                       k_values: Sequence[int] = K_VALUES,
+                       warmup: bool = True) -> dict:
+    """Run ``retrieve_fn(query_batch, top_k) -> (B, top_k) ids`` over all
+    queries, timing per batch; returns the metrics dict + timing fields
+    (reference :822-832 aggregation)."""
+    import time
+
+    B = len(query_embs)
+    all_ids = np.full((B, top_k), -1, np.int64)
+    if warmup and B:  # exclude compile time from latency (jit warm-up)
+        retrieve_fn(query_embs[:min(batch_size, B)], top_k)
+    t0 = time.perf_counter()
+    for s in range(0, B, batch_size):
+        chunk = query_embs[s:s + batch_size]
+        n = len(chunk)
+        if n < batch_size and B > batch_size:
+            # pad ragged tail to the bucketed shape -> no recompile
+            chunk = np.concatenate(
+                [chunk, np.zeros((batch_size - n,) + chunk.shape[1:],
+                                 chunk.dtype)]
+            )
+        ids = np.asarray(retrieve_fn(chunk, top_k))[:n]
+        all_ids[s:s + n, : ids.shape[1]] = ids
+    elapsed = time.perf_counter() - t0
+
+    out = retrieval_metrics(all_ids, target_ids, top_k, k_values)
+    out["method"] = name
+    out["time_taken"] = elapsed
+    out["avg_latency_ms"] = 1000.0 * elapsed / max(B, 1)
+    out["qps"] = B / elapsed if elapsed > 0 else float("inf")
+    return out
+
+
+def print_metrics_table(results: Sequence[dict],
+                        out_path: Optional[str] = None,
+                        k_values: Sequence[int] = K_VALUES,
+                        top_k: int = 100) -> str:
+    """Pretty table appended to a results file (reference
+    print_metrics_table :836-868, tabulate 'grid' style output format so the
+    reference's table-parsing report tooling keeps working)."""
+    try:
+        from tabulate import tabulate
+    except ImportError:  # pragma: no cover
+        tabulate = None
+
+    ks = [k for k in k_values if k <= top_k]
+    header = ["method"] + [f"recall@{k}" for k in ks] + \
+        [f"mrr@{k}" for k in ks] + [f"ndcg@{k}" for k in ks] + \
+        ["avg_latency_ms", "qps"]
+    rows = []
+    for r in results:
+        rows.append(
+            [r.get("method", "?")]
+            + [f"{r.get(f'recall@{k}', float('nan')):.4f}" for k in ks]
+            + [f"{r.get(f'mrr@{k}', float('nan')):.4f}" for k in ks]
+            + [f"{r.get(f'ndcg@{k}', float('nan')):.4f}" for k in ks]
+            + [f"{r.get('avg_latency_ms', float('nan')):.3f}",
+               f"{r.get('qps', float('nan')):.1f}"]
+        )
+    if tabulate is not None:
+        table = tabulate(rows, headers=header, tablefmt="grid")
+    else:
+        table = "\n".join(
+            ["\t".join(header)] + ["\t".join(map(str, r)) for r in rows]
+        )
+    if out_path:
+        with open(out_path, "a") as f:
+            f.write(table + "\n\n")
+    return table

@@ -1,0 +1,332 @@
+"""Prediction index: batched query scoring over the whole tree at once.
+
+TPU-native generalization of the reference's "fast" path
+(CobwebWrapper.build_prediction_index :91-208, cobweb_predict_indexed
+:210-265, cobweb_rank_scores :267-294):
+
+  * node statistics are compacted to dense ``(N_live, D)`` mean/var arrays
+    (the reference walks the pointer graph; we gather from the flat tree);
+  * the sparse COO leaf-path matrix becomes a dense padded ``(S, P)`` array
+    of node indices + per-hop weights (trees are shallow, so padding is
+    cheap — SURVEY.md §7 hard-part 5);
+  * per-query scoring is two MXU GEMMs (see ops/gaussian.node_log_prob_terms)
+    and the path-sum is P gathers instead of ``torch.sparse.mm``;
+  * queries are *batched* end-to-end — the reference loops one query at a
+    time through a process pool (benchmark_utils.py:737-820); here a (B, D)
+    batch is one device computation ending in ``lax.top_k``.
+
+Also provides the batched beam-search query (the TPU analog of the
+reference's best-first tree search, CobwebTorchTree._cobweb_categorize
+:235-289) which scales O(depth * beam * fanout) instead of O(N).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_cobweb_tpu.core.config import TreeConfig
+from rag_cobweb_tpu.core.tree import CobwebTree
+from rag_cobweb_tpu.ops.gaussian import (
+    batched_node_log_probs,
+    compute_var,
+    node_log_prob_terms,
+)
+
+DEFAULT_LEVEL_WEIGHTS = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)  # CobwebWrapper.py:155
+
+
+class PredictionIndex(NamedTuple):
+    """Device-resident query index (rebuilt after tree mutations)."""
+
+    inv_var_T: jnp.ndarray      # (D, N) precomputed GEMM terms
+    mu_over_var_T: jnp.ndarray  # (D, N)
+    const: jnp.ndarray          # (N,)
+    paths: jnp.ndarray          # (S, P) compact node idx along root->leaf, -1 pad
+    path_weights: jnp.ndarray   # (S, P) level_weight[d]/path_len, 0 on padding
+    # beam-search arrays (compact numbering, BFS order):
+    children: jnp.ndarray       # (N, F) compact child idx, -1 pad
+    leaf_sentence_start: jnp.ndarray  # (N,) first sid of leaf's sentence run, -1
+    leaf_sentence_count: jnp.ndarray  # (N,)
+    sentence_order: jnp.ndarray  # (S,) sids grouped by leaf (run-length layout)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.const.shape[0]
+
+    @property
+    def num_sentences(self) -> int:
+        return self.paths.shape[0]
+
+
+def build_index(
+    tree: CobwebTree,
+    leaf_of_sentence: np.ndarray,
+    level_weights: Sequence[float] = DEFAULT_LEVEL_WEIGHTS,
+    pad_depth_to: int = 4,
+) -> PredictionIndex:
+    """Compact the live tree + derive per-sentence root->leaf paths.
+
+    ``leaf_of_sentence[s]`` is the tree node index of sentence s's leaf.
+    Path derivation is vectorized parent-pointer chasing (no Python per-node
+    loop): depth comes from repeated gather of ``parent``.
+    Mirrors CobwebWrapper.build_prediction_index :110-203 (BFS numbering,
+    level weights normalized by path length, prior-var for empty nodes).
+    """
+    st = jax.tree.map(np.asarray, tree.state)
+    cfg = tree.cfg
+
+    # --- BFS over live nodes -> compact numbering -------------------------
+    root = int(st.root)
+    order: list[int] = [root]
+    depth_of = {root: 0}
+    head = 0
+    while head < len(order):
+        n = order[head]
+        head += 1
+        for i in range(int(st.n_children[n])):
+            c = int(st.children[n, i])
+            depth_of[c] = depth_of[n] + 1
+            order.append(c)
+    order_arr = np.asarray(order, np.int32)
+    compact_of = np.full((st.counts.shape[0],), -1, np.int32)
+    compact_of[order_arr] = np.arange(len(order), dtype=np.int32)
+
+    n_live = len(order)
+    depths = np.asarray([depth_of[n] for n in order], np.int32)
+    max_depth = int(depths.max()) if n_live else 0
+    P = max(1, -(-(max_depth + 1) // pad_depth_to) * pad_depth_to)
+
+    # --- per-sentence root->leaf paths via parent chasing -----------------
+    S = len(leaf_of_sentence)
+    leaf_compact = compact_of[np.asarray(leaf_of_sentence, np.int32)]
+    if np.any(leaf_compact < 0):
+        bad = np.where(leaf_compact < 0)[0]
+        raise ValueError(f"sentences {bad[:5]} map to dead tree nodes")
+    parent_compact = np.full((n_live,), -1, np.int32)
+    live_parents = st.parent[order_arr]
+    has_parent = live_parents >= 0
+    parent_compact[has_parent] = compact_of[live_parents[has_parent]]
+
+    # chase: row s = [leaf, parent(leaf), ..., root], then reverse
+    chains = np.full((S, P), -1, np.int32)
+    cur = leaf_compact.copy()
+    for p in range(P):
+        chains[:, p] = cur
+        nxt = np.where(cur >= 0, parent_compact[np.maximum(cur, 0)], -1)
+        cur = nxt
+    path_len = (chains >= 0).sum(1)
+    # reverse each row's valid prefix so paths run root->leaf
+    rows = np.arange(S)[:, None]
+    pos = np.arange(P)[None, :]
+    src = path_len[:, None] - 1 - pos
+    paths = np.where(src >= 0, chains[rows, np.maximum(src, 0)], -1).astype(np.int32)
+
+    lw = np.ones((P,), np.float32)
+    lw[: min(len(level_weights), P)] = np.asarray(
+        list(level_weights)[:P], np.float32
+    )
+    weights = np.where(
+        paths >= 0, lw[None, :] / np.maximum(path_len, 1)[:, None], 0.0
+    ).astype(np.float32)
+
+    # --- sentence run-length layout per leaf (for beam search) ------------
+    sent_order = np.argsort(leaf_compact, kind="stable").astype(np.int32)
+    sorted_leaves = leaf_compact[sent_order]
+    leaf_start = np.full((n_live,), -1, np.int32)
+    leaf_count = np.zeros((n_live,), np.int32)
+    uniq, starts, counts = np.unique(
+        sorted_leaves, return_index=True, return_counts=True
+    )
+    leaf_start[uniq] = starts.astype(np.int32)
+    leaf_count[uniq] = counts.astype(np.int32)
+
+    # --- compact stats on device -----------------------------------------
+    live_idx = jnp.asarray(order_arr)
+    means = tree.state.means[live_idx]
+    m2s = tree.state.m2s[live_idx]
+    counts = tree.state.counts[live_idx]
+    vars_ = compute_var(m2s, counts[:, None], cfg)
+    inv_var_T, mu_over_var_T, const = node_log_prob_terms(means, vars_)
+
+    # compact children table
+    kids = st.children[order_arr]  # (N_live, F) raw idx
+    kids_compact = np.where(kids >= 0, compact_of[np.maximum(kids, 0)], -1).astype(
+        np.int32
+    )
+
+    return PredictionIndex(
+        inv_var_T=inv_var_T,
+        mu_over_var_T=mu_over_var_T,
+        const=const,
+        paths=jnp.asarray(paths),
+        path_weights=jnp.asarray(weights),
+        children=jnp.asarray(kids_compact),
+        leaf_sentence_start=jnp.asarray(leaf_start),
+        leaf_sentence_count=jnp.asarray(leaf_count),
+        sentence_order=jnp.asarray(sent_order),
+    )
+
+
+# ---------------------------------------------------------------------------
+# indexed scoring (reference cobweb_predict_indexed / cobweb_rank_scores)
+# ---------------------------------------------------------------------------
+
+def path_scores_from_nlp(paths: jnp.ndarray, path_weights: jnp.ndarray,
+                         nlp: jnp.ndarray) -> jnp.ndarray:
+    """Weighted path-sum: (B, N) node log-probs -> (B, S) sentence scores."""
+    P = paths.shape[1]
+    safe_paths = jnp.maximum(paths, 0)  # (S, P)
+    acc = jnp.zeros((nlp.shape[0], paths.shape[0]), jnp.float32)
+    for p in range(P):  # P is small & static; XLA fuses the gathers
+        acc = acc + nlp[:, safe_paths[:, p]] * path_weights[:, p][None, :]
+    return acc
+
+
+def rank_scores(index: PredictionIndex, queries: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable per-sentence path scores for a (B, D) query batch.
+
+    Equivalent of CobwebWrapper.cobweb_rank_scores (:267-294): Gaussian
+    log-prob of every node + weighted sum along each sentence's root->leaf
+    path.  Returns (B, S).
+    """
+    nlp = batched_node_log_probs(
+        queries, index.inv_var_T, index.mu_over_var_T, index.const
+    )  # (B, N)
+    return path_scores_from_nlp(index.paths, index.path_weights, nlp)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def query_topk(index: PredictionIndex, queries: jnp.ndarray, k: int,
+               noise_key: Optional[jax.Array] = None):
+    """Batched top-k retrieval: (B, D) -> (scores (B,k), sentence ids (B,k)).
+
+    Reference adds ~1e-6 Gaussian noise to break ties before top-k
+    (CobwebWrapper.py:244-257); pass ``noise_key`` to reproduce that.
+    """
+    scores = rank_scores(index, queries)
+    if noise_key is not None:
+        scores = scores + 1e-6 * jax.random.normal(noise_key, scores.shape)
+    k = min(k, scores.shape[1])
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_scores, top_ids
+
+
+# ---------------------------------------------------------------------------
+# beam-search query (reference best-first tree search, batched)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("beam_width", "max_depth", "k"))
+def beam_search_topk(index: PredictionIndex, queries: jnp.ndarray,
+                     k: int, beam_width: int = 64, max_depth: int = 16):
+    """Fixed-width beam search down the tree for a (B, D) query batch.
+
+    TPU analog of CobwebTorchTree._cobweb_categorize (:235-289): instead of a
+    host heap with a node budget, keep the ``beam_width`` best nodes per
+    level by diagonal-Gaussian log-prob (the same key the reference pushes to
+    its heap, :273-285), expand children each step (``lax.scan`` over depth),
+    and collect encountered leaves.  Cost O(depth * beam * fanout * D) per
+    query — independent of corpus size.
+
+    Returns (leaf_scores (B, Wk), leaf_nodes (B, Wk)) with Wk >= k candidate
+    leaf *nodes* sorted by score; map to sentences via
+    ``index.leaf_sentence_start/count``.
+    """
+    B = queries.shape[0]
+    F = index.children.shape[1]
+    W = beam_width
+
+    def node_lp(node_ids):
+        # (B, W) node ids -> (B, W) log-probs, via gathered GEMM terms
+        # small W: direct gather + elementwise (vs full GEMM over all nodes)
+        safe = jnp.maximum(node_ids, 0)
+        ivt = index.inv_var_T.T[safe]        # (B, W, D)
+        movt = index.mu_over_var_T.T[safe]   # (B, W, D)
+        cst = index.const[safe]              # (B, W)
+        x = queries[:, None, :]
+        return (jnp.sum(x * movt, -1) - 0.5 * jnp.sum(jnp.square(x) * ivt, -1)
+                + cst)
+
+    NEG = jnp.float32(-3e38)
+
+    root0 = jnp.zeros((B, 1), jnp.int32)  # compact root is 0 (BFS order)
+    beam_nodes = jnp.concatenate(
+        [root0, jnp.full((B, W - 1), -1, jnp.int32)], axis=1
+    )
+    beam_scores = jnp.where(beam_nodes >= 0, node_lp(beam_nodes), NEG)
+
+    leaf_cap = W * max_depth // 2 + k
+    leaves0 = jnp.full((B, leaf_cap), -1, jnp.int32)
+    leaf_scores0 = jnp.full((B, leaf_cap), NEG, jnp.float32)
+
+    def collect_leaves(leaves, lscores, nodes, scores, step):
+        """Append leaf nodes present in the current beam into the ring."""
+        is_leaf = (nodes >= 0) & (
+            index.leaf_sentence_count[jnp.maximum(nodes, 0)] > 0
+        )
+        # merge: concat + top by score (keeps it simple & fixed-shape)
+        cand_nodes = jnp.concatenate(
+            [leaves, jnp.where(is_leaf, nodes, -1)], axis=1
+        )
+        cand_scores = jnp.concatenate(
+            [lscores, jnp.where(is_leaf, scores, NEG)], axis=1
+        )
+        top, ids = jax.lax.top_k(cand_scores, leaf_cap)
+        return jnp.take_along_axis(cand_nodes, ids, axis=1), top
+
+    def step(carry, depth):
+        beam_nodes, beam_scores, leaves, lscores = carry
+        leaves, lscores = collect_leaves(
+            leaves, lscores, beam_nodes, beam_scores, depth
+        )
+        # expand: (B, W, F) children
+        safe = jnp.maximum(beam_nodes, 0)
+        kids = jnp.where(
+            (beam_nodes >= 0)[:, :, None], index.children[safe], -1
+        ).reshape(B, W * F)
+        kid_scores = jnp.where(kids >= 0, node_lp(kids), NEG)
+        top, ids = jax.lax.top_k(kid_scores, W)
+        new_nodes = jnp.take_along_axis(kids, ids, axis=1)
+        new_nodes = jnp.where(top > NEG / 2, new_nodes, -1)
+        return (new_nodes, top, leaves, lscores), None
+
+    carry = (beam_nodes, beam_scores, leaves0, leaf_scores0)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_depth))
+    beam_nodes, beam_scores, leaves, lscores = carry
+    leaves, lscores = collect_leaves(
+        leaves, lscores, beam_nodes, beam_scores, max_depth
+    )
+    return lscores, leaves
+
+
+def leaves_to_sentence_ids(index: PredictionIndex, leaf_nodes: np.ndarray,
+                           k: int) -> np.ndarray:
+    """Flatten ranked leaf nodes into the first k sentence ids per query.
+
+    Host-side run-length expansion (the reference shuffles sids within a
+    leaf, CobwebWrapper.py:455-456 — we keep insertion order, deterministic).
+    Returns (B, k) sentence ids, -1 padded.
+    """
+    starts = np.asarray(index.leaf_sentence_start)
+    counts = np.asarray(index.leaf_sentence_count)
+    sorder = np.asarray(index.sentence_order)
+    B = leaf_nodes.shape[0]
+    out = np.full((B, k), -1, np.int64)
+    for b in range(B):
+        pos = 0
+        for leaf in leaf_nodes[b]:
+            if leaf < 0 or pos >= k:
+                continue
+            s, c = starts[leaf], counts[leaf]
+            if s < 0:
+                continue
+            take = min(c, k - pos)
+            out[b, pos:pos + take] = sorder[s:s + take]
+            pos += take
+            if pos >= k:
+                break
+    return out

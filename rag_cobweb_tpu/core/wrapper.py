@@ -1,0 +1,352 @@
+"""CobwebIndex — the database facade (reference CobwebWrapper parity).
+
+API parity with src/cobweb/CobwebWrapper.py:12-694: sentence store,
+incremental ``add_sentences``, slow (tree-search) and fast (indexed)
+prediction, differentiable rank scores, level-weight schedules, JSON
+persistence, and graphviz subtree visualization — redesigned batch-first:
+every query entry point accepts a single input or a batch and executes as
+one device computation.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_cobweb_tpu.core.config import TreeConfig
+from rag_cobweb_tpu.core import index as index_mod
+from rag_cobweb_tpu.core.tree import CobwebTree
+
+
+def _identity_encode(x):
+    return np.asarray(x, np.float32)
+
+
+class CobwebIndex:
+    """Hierarchical vector database over a Cobweb concept tree.
+
+    Parameters mirror CobwebWrapper.__init__ (:13-50): ``corpus`` (list of
+    sentences, may be None entries for embedding-only rows),
+    ``corpus_embeddings`` (array-like (S, D)), ``encode_func`` (text ->
+    embeddings; identity by default — the hermetic-test seam the reference
+    establishes, SURVEY.md §4).
+    """
+
+    def __init__(self, corpus=None, corpus_embeddings=None,
+                 encode_func: Callable = _identity_encode,
+                 config: Optional[TreeConfig] = None,
+                 capacity: Optional[int] = None, seed: int = 0):
+        self.encode_func = encode_func
+        self.sentences: list = []
+        self.leaf_of_sentence: list[int] = []
+
+        if corpus_embeddings is not None:
+            corpus_embeddings = np.asarray(corpus_embeddings, np.float32)
+            dim = corpus_embeddings.shape[1]
+        elif corpus:
+            sample = np.asarray(self.encode_func([corpus[0]]))
+            dim = sample.shape[-1]
+        elif config is not None:
+            dim = config.dim
+        else:
+            raise ValueError(
+                "need corpus, corpus_embeddings, or config to fix the dim"
+            )
+
+        self.cfg = config or TreeConfig(dim=dim)
+        n0 = len(corpus_embeddings) if corpus_embeddings is not None else (
+            len(corpus) if corpus else 0
+        )
+        cap = capacity or max(1024, 4 * n0 + 16)
+        self.tree = CobwebTree(self.cfg, capacity=cap, seed=seed)
+
+        self._index: Optional[index_mod.PredictionIndex] = None
+        self._level_weights: Optional[list[float]] = None
+        self._weight_schedule = None
+        self._schedule_params: dict = {}
+        self.max_depth = 0
+
+        if corpus_embeddings is not None:
+            if corpus is None:
+                corpus = [None] * len(corpus_embeddings)
+            self.add_sentences(corpus, corpus_embeddings)
+        elif corpus:
+            self.add_sentences(corpus)
+
+    # ------------------------------------------------------------------ #
+    # ingestion                                                          #
+    # ------------------------------------------------------------------ #
+    def add_sentences(self, new_sentences, new_vectors=None,
+                      batch_size: int = 2048):
+        """Incrementally insert sentences/embeddings (reference :52-80).
+
+        The per-item Python loop of the reference becomes a batched
+        on-device insert; leaf assignment comes back as one array.
+        """
+        if new_vectors is None:
+            new_vectors = self.encode_func(new_sentences)
+        new_vectors = np.asarray(new_vectors, np.float32)
+        if new_vectors.ndim == 1:
+            new_vectors = new_vectors[None, :]
+        if new_vectors.shape[1] != self.cfg.dim:
+            raise ValueError(
+                f"vector dim {new_vectors.shape[1]} != tree dim {self.cfg.dim}"
+            )
+        leaves = self.tree.fit(new_vectors, batch_size=batch_size)
+        self.sentences.extend(new_sentences)
+        self.leaf_of_sentence.extend(int(l) for l in leaves)
+        self._invalidate_index()
+        return leaves
+
+    # ------------------------------------------------------------------ #
+    # prediction index                                                   #
+    # ------------------------------------------------------------------ #
+    def _invalidate_index(self):
+        self._index = None
+
+    def build_prediction_index(self) -> index_mod.PredictionIndex:
+        if self._index is None:
+            lw = self._level_weights or list(index_mod.DEFAULT_LEVEL_WEIGHTS)
+            self._index = index_mod.build_index(
+                self.tree, np.asarray(self.leaf_of_sentence, np.int32),
+                level_weights=lw,
+            )
+            depths = np.asarray((self._index.paths >= 0).sum(1))
+            self.max_depth = int(depths.max()) if len(depths) else 0
+        return self._index
+
+    def force_rebuild_index(self):
+        self._invalidate_index()
+        self.build_prediction_index()
+
+    def get_prediction_index_info(self) -> dict:
+        """Diagnostics (reference :315-333, with its `_node_to_index` bug fixed)."""
+        valid = self._index is not None
+        info = {
+            "index_valid": valid,
+            "total_nodes": self._index.num_nodes if valid else 0,
+            "leaf_paths_cached": self._index.num_sentences if valid else 0,
+            "means_cached": valid,
+            "vars_cached": valid,
+        }
+        if valid:
+            info["means_shape"] = (
+                self._index.num_nodes, self.cfg.dim
+            )
+            info["vars_shape"] = info["means_shape"]
+        return info
+
+    def get_node_path_stats(self, sentence_id: int):
+        """Mean/var arrays for every node on a sentence's root->leaf path
+        (reference :297-313)."""
+        idx = self.build_prediction_index()
+        if not (0 <= sentence_id < len(self.sentences)):
+            return None, None
+        path = np.asarray(idx.paths[sentence_id])
+        path = path[path >= 0]
+        # recover means/vars from the GEMM terms: var = 1/inv_var, mu = movt*var
+        inv_var = np.asarray(idx.inv_var_T).T[path]
+        var = 1.0 / inv_var
+        mean = np.asarray(idx.mu_over_var_T).T[path] * var
+        return mean, var
+
+    # ------------------------------------------------------------------ #
+    # queries                                                            #
+    # ------------------------------------------------------------------ #
+    def _as_query_batch(self, input, is_embedding):
+        if is_embedding:
+            arr = np.asarray(input, np.float32)
+            single = arr.ndim == 1
+        else:
+            single = isinstance(input, str)
+            texts = [input] if single else list(input)
+            arr = np.asarray(self.encode_func(texts), np.float32)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        return jnp.asarray(arr), single
+
+    def predict_fast(self, input, k=5, return_ids=False, is_embedding=False,
+                     tie_noise: bool = False):
+        """Indexed prediction (reference cobweb_predict_fast/_indexed :210-265,
+        :428-433): one fused scoring+path-sum+top-k device computation,
+        batch-first."""
+        idx = self.build_prediction_index()
+        q, single = self._as_query_batch(input, is_embedding)
+        key = jax.random.PRNGKey(len(self.sentences)) if tie_noise else None
+        _, top_ids = index_mod.query_topk(idx, q, min(k, len(self.sentences)),
+                                          key)
+        ids = np.asarray(top_ids)
+        out = [
+            [i if return_ids else self.sentences[i] for i in row]
+            for row in ids.tolist()
+        ]
+        return out[0] if single else out
+
+    # reference-compatible aliases
+    cobweb_predict_fast = predict_fast
+    cobweb_predict_indexed = predict_fast
+
+    def predict(self, input, k=5, return_ids=False, is_embedding=False,
+                beam_width: int = 64):
+        """Tree-search prediction (reference cobweb_predict :435-461) as a
+        batched beam search down the concept hierarchy."""
+        idx = self.build_prediction_index()
+        q, single = self._as_query_batch(input, is_embedding)
+        max_depth = max(self.max_depth, 1)
+        _, leaf_nodes = index_mod.beam_search_topk(
+            idx, q, k, beam_width=beam_width, max_depth=max_depth
+        )
+        sids = index_mod.leaves_to_sentence_ids(idx, np.asarray(leaf_nodes), k)
+        out = [
+            [i if return_ids else self.sentences[i] for i in row if i >= 0]
+            for row in sids.tolist()
+        ]
+        return out[0] if single else out
+
+    cobweb_predict = predict
+
+    def rank_scores(self, input, is_embedding=False) -> jnp.ndarray:
+        """Differentiable per-sentence scores (reference cobweb_rank_scores
+        :267-294).  (B, D) -> (B, S); single input -> (S,).  Differentiable
+        w.r.t. the query embedding — used as logits by training/query_train."""
+        idx = self.build_prediction_index()
+        q, single = self._as_query_batch(input, is_embedding)
+        scores = index_mod.rank_scores(idx, q)
+        return scores[0] if single else scores
+
+    cobweb_rank_scores = rank_scores
+
+    # ------------------------------------------------------------------ #
+    # level-weight schedules (reference :335-420)                        #
+    # ------------------------------------------------------------------ #
+    def set_level_weights(self, weights: Sequence[float]):
+        self._level_weights = list(weights)
+        self._weight_schedule = None
+        self._invalidate_index()
+
+    def set_weight_schedule(self, schedule_type: str, max_depth: int = 10,
+                            **kwargs):
+        if self._index is not None:
+            max_depth = max(self.max_depth, 1)
+        self._weight_schedule = schedule_type
+        self._schedule_params = kwargs
+        self._level_weights = _generate_weight_schedule(
+            schedule_type, max_depth, **kwargs
+        )
+        self._invalidate_index()
+
+    def get_level_weights(self):
+        return self._level_weights or [1.0, 1.0, 1.0, 1.0]
+
+    def get_weight_schedule_info(self):
+        return {
+            "schedule_type": self._weight_schedule,
+            "schedule_params": self._schedule_params,
+            "current_weights": self.get_level_weights(),
+        }
+
+    # ------------------------------------------------------------------ #
+    # persistence (reference :484-555)                                   #
+    # ------------------------------------------------------------------ #
+    def dump_json(self, save_path: Optional[str] = None) -> str:
+        sids_by_leaf: dict[int, list[int]] = {}
+        for sid, leaf in enumerate(self.leaf_of_sentence):
+            sids_by_leaf.setdefault(leaf, []).append(sid)
+        state = {
+            "tree": json.loads(self.tree.dump_json(sids_by_leaf)),
+            "sentences": self.sentences,
+            "embedding_dim": self.cfg.dim,
+        }
+        blob = json.dumps(state, indent=2)
+        if save_path:
+            with open(save_path, "w") as f:
+                f.write(blob)
+        return blob
+
+    @staticmethod
+    def load_json(json_data, encode_func: Callable = _identity_encode
+                  ) -> "CobwebIndex":
+        data = json.loads(json_data) if isinstance(json_data, str) else json_data
+        tree, leaf_sids = CobwebTree.load_json(json.dumps(data["tree"]))
+        obj = CobwebIndex.__new__(CobwebIndex)
+        obj.encode_func = encode_func
+        obj.sentences = data.get("sentences", [])
+        obj.cfg = tree.cfg
+        obj.tree = tree
+        leaf_of = np.full((len(obj.sentences),), -1, np.int64)
+        for leaf, sids in leaf_sids.items():
+            for sid in sids:
+                leaf_of[sid] = leaf
+        obj.leaf_of_sentence = [int(l) for l in leaf_of]
+        obj._index = None
+        obj._level_weights = None
+        obj._weight_schedule = None
+        obj._schedule_params = {}
+        obj.max_depth = 0
+        return obj
+
+    # ------------------------------------------------------------------ #
+    # inspection / viz                                                   #
+    # ------------------------------------------------------------------ #
+    def __len__(self):
+        return len(self.sentences)
+
+    def print_tree(self):
+        """Recursive structure print (reference :463-482)."""
+        st = self.tree._host_arrays()
+        sids_by_leaf: dict[int, list[int]] = {}
+        for sid, leaf in enumerate(self.leaf_of_sentence):
+            sids_by_leaf.setdefault(leaf, []).append(sid)
+
+        def rec(n, depth):
+            pad = "  " * depth
+            sids = sids_by_leaf.get(n, [])
+            print(f"{pad}- Node {n} sids={sids}")
+            for sid in sids:
+                s = self.sentences[sid]
+                print(f"{pad}    {s!r}" if s is not None
+                      else f"{pad}    [Embedding only]")
+            for i in range(int(st.n_children[n])):
+                rec(int(st.children[n, i]), depth + 1)
+
+        print("\nCobweb Sentence Clustering Tree:")
+        rec(int(st.root), 0)
+
+    def visualize_subtrees(self, directory: str, num_leaves: int = 6):
+        """Graphviz PNGs of grandparent subtrees (reference :563-694)."""
+        from rag_cobweb_tpu.utils.viz import visualize_grandparent_subtrees
+
+        sids_by_leaf: dict[int, list[int]] = {}
+        for sid, leaf in enumerate(self.leaf_of_sentence):
+            sids_by_leaf.setdefault(leaf, []).append(sid)
+        visualize_grandparent_subtrees(
+            self.tree, self.sentences, sids_by_leaf, directory,
+            num_leaves=num_leaves,
+        )
+
+
+def _generate_weight_schedule(schedule_type: str, max_depth: int, **kwargs):
+    """Weight schedules (reference _generate_weight_schedule :368-408):
+    constant / linear / quadratic (1/n^2) / exponential (base^i)."""
+    if schedule_type == "constant":
+        return [kwargs.get("value", 1.0)] * max_depth
+    if schedule_type == "linear":
+        start = kwargs.get("start", 1.0)
+        end = kwargs.get("end", 1.0)
+        if kwargs.get("direction", "increase") == "decrease":
+            start, end = end, start
+        if max_depth == 1:
+            return [start]
+        step = (end - start) / (max_depth - 1)
+        return [start + i * step for i in range(max_depth)]
+    if schedule_type == "quadratic":
+        start_n = kwargs.get("start_n", 1)
+        return [1.0 / (max(start_n + i, 1) ** 2) for i in range(max_depth)]
+    if schedule_type == "exponential":
+        base = kwargs.get("base", 0.5)
+        return [base ** i for i in range(max_depth)]
+    raise ValueError(f"Unknown schedule type: {schedule_type}")

@@ -1,0 +1,132 @@
+"""Tests for the CobwebIndex facade: reference CobwebWrapper API parity,
+round-trip persistence, weight schedules, and the sample-corpus smoke flow
+(the reference's only test, tests/cobweb_basic_test.py, with assertions)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from rag_cobweb_tpu import CobwebIndex, TreeConfig
+from rag_cobweb_tpu.bench.datasets import load_sample_corpuses
+
+
+def fake_encode(sentences):
+    """Deterministic hash-based embedding: hermetic stand-in for a
+    SentenceTransformer (the encode_func seam, CobwebWrapper.py:13)."""
+    out = np.zeros((len(sentences), 32), np.float32)
+    for i, s in enumerate(sentences):
+        rng = np.random.default_rng(abs(hash(s)) % (2**31))
+        out[i] = rng.normal(size=32)
+    return out
+
+
+@pytest.fixture(scope="module")
+def db():
+    rng = np.random.default_rng(0)
+    centers = rng.normal(scale=3.0, size=(5, 24))
+    embs = np.concatenate(
+        [c + 0.2 * rng.normal(size=(12, 24)) for c in centers]
+    ).astype(np.float32)
+    sentences = [f"sentence {i}" for i in range(len(embs))]
+    return CobwebIndex(sentences, embs), embs, sentences
+
+
+def test_predict_fast_returns_sentences(db):
+    idx, embs, sentences = db
+    out = idx.predict_fast(embs[0], k=3, is_embedding=True)
+    assert len(out) == 3
+    assert out[0] == sentences[0]
+
+
+def test_predict_fast_batch(db):
+    idx, embs, sentences = db
+    out = idx.predict_fast(embs[:4], k=3, is_embedding=True)
+    assert len(out) == 4 and all(len(r) == 3 for r in out)
+    assert out[1][0] == sentences[1]
+
+
+def test_predict_tree_search(db):
+    idx, embs, sentences = db
+    out = idx.predict(embs[2], k=5, is_embedding=True, return_ids=True)
+    assert 2 in out
+
+
+def test_rank_scores_shape_and_argmax(db):
+    idx, embs, sentences = db
+    s = idx.rank_scores(embs[7], is_embedding=True)
+    assert s.shape == (len(sentences),)
+    assert int(np.argmax(np.asarray(s))) == 7
+
+
+def test_incremental_add(db):
+    rng = np.random.default_rng(9)
+    embs = rng.normal(size=(10, 8)).astype(np.float32)
+    idx = CobwebIndex([f"s{i}" for i in range(10)], embs)
+    more = rng.normal(size=(5, 8)).astype(np.float32)
+    idx.add_sentences([f"t{i}" for i in range(5)], more)
+    assert len(idx) == 15
+    out = idx.predict_fast(more[0], k=1, is_embedding=True)
+    assert out[0] == "t0"
+
+
+def test_json_round_trip(db):
+    idx, embs, sentences = db
+    blob = idx.dump_json()
+    loaded = CobwebIndex.load_json(blob)
+    assert len(loaded) == len(idx)
+    a = idx.predict_fast(embs[5], k=5, is_embedding=True)
+    b = loaded.predict_fast(embs[5], k=5, is_embedding=True)
+    assert a == b
+    # schema parity with the reference (CobwebWrapper.dump_json :489-497)
+    data = json.loads(blob)
+    assert set(data) == {"tree", "sentences", "embedding_dim"}
+    assert {"count", "mean", "meanSq", "sentence_id", "children"} <= set(
+        data["tree"]["root"]
+    )
+
+
+def test_weight_schedules():
+    from rag_cobweb_tpu.core.wrapper import _generate_weight_schedule as gen
+
+    assert gen("constant", 4) == [1.0] * 4
+    assert gen("linear", 3, start=0.0, end=1.0) == [0.0, 0.5, 1.0]
+    assert gen("linear", 3, start=0.0, end=1.0, direction="decrease") == [
+        1.0, 0.5, 0.0]
+    assert gen("quadratic", 3) == [1.0, 0.25, 1 / 9]
+    assert gen("exponential", 3, base=0.5) == [1.0, 0.5, 0.25]
+    with pytest.raises(ValueError):
+        gen("bogus", 3)
+
+
+def test_set_weight_schedule_changes_scores(db):
+    idx, embs, sentences = db
+    base = idx.predict_fast(embs[0], k=3, is_embedding=True)
+    idx.set_weight_schedule("exponential", base=0.5)
+    after = idx.predict_fast(embs[0], k=3, is_embedding=True)
+    assert idx.get_weight_schedule_info()["schedule_type"] == "exponential"
+    idx.set_level_weights([1.0] * 6)  # restore
+    restored = idx.predict_fast(embs[0], k=3, is_embedding=True)
+    assert restored == base
+
+
+def test_embedding_only_rows():
+    rng = np.random.default_rng(3)
+    embs = rng.normal(size=(8, 6)).astype(np.float32)
+    idx = CobwebIndex(corpus=None, corpus_embeddings=embs)
+    out = idx.predict_fast(embs[1], k=2, is_embedding=True, return_ids=True)
+    assert out[0] == 1
+
+
+def test_smoke_sample_corpus():
+    """The reference's smoke test (tests/cobweb_basic_test.py:5-77) with a
+    hermetic encoder and real assertions."""
+    corpus = load_sample_corpuses()["user_corpus2"]
+    idx = CobwebIndex(corpus, fake_encode(corpus), encode_func=fake_encode)
+    query = corpus[0]
+    slow = idx.predict(query, k=3)
+    fast = idx.predict_fast(query, k=3)
+    assert corpus[0] in slow and corpus[0] in fast
+    blob = idx.dump_json()
+    loaded = CobwebIndex.load_json(blob, encode_func=fake_encode)
+    assert loaded.predict_fast(query, k=3) == fast
