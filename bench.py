@@ -36,13 +36,8 @@ def main():
 
     log = (lambda *a: print(*a, file=sys.stderr, flush=True)) if True else None
 
-    import jax
-    try:  # persistent compile cache: the insert program is compile-heavy
-        jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/rag_cobweb_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    from rag_cobweb_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # the insert program is compile-heavy
 
     from rag_cobweb_tpu.bench.datasets import synthetic_retrieval
     from rag_cobweb_tpu.bench.baselines import FlatIndex

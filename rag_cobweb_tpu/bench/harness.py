@@ -1,0 +1,246 @@
+"""Benchmark runner: the template-method harness of the reference
+(src/benchmarks/base_benchmark.py:22-353) rebuilt around batched TPU
+retrieval.
+
+Pipeline: dataset -> embeddings (cached .npy / encoder / synthetic) ->
+PCA+ICA models (cached pickle) -> method matrix -> metrics tables appended
+to ``outputs/<dataset>/benchmark_<unique_id>.txt``.
+
+Method matrix (reference run_benchmark_methods :129-247), each +- PCA+ICA:
+  flat-ip / flat-l2 (exact, on device — the FAISS role), hnswlib + annoy
+  (optional CPU baselines), cobweb (beam tree-search), cobweb_fast
+  (prediction index).  Method groups: all / extra / cobweb / cobweb_pca /
+  scale (the reference's argparse choices bug — missing scale/cobweb_pca —
+  is fixed here, see SURVEY.md quirks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from rag_cobweb_tpu.bench import baselines, datasets, encoders, metrics
+from rag_cobweb_tpu.core.config import TreeConfig
+from rag_cobweb_tpu.core.wrapper import CobwebIndex
+from rag_cobweb_tpu.whitening import PCAICAWhiteningModel
+
+METHOD_GROUPS = {
+    "all": ("flat_ip", "flat_l2", "flat_ip_pca", "cobweb", "cobweb_fast",
+            "cobweb_pca", "cobweb_pca_fast"),
+    "extra": ("flat_ip", "flat_l2", "hnsw", "hnsw_pca", "annoy",
+              "cobweb_pca", "cobweb_pca_fast"),
+    "cobweb": ("cobweb", "cobweb_fast"),
+    "cobweb_pca": ("cobweb_pca", "cobweb_pca_fast"),
+    "scale": ("flat_ip", "cobweb_pca_fast"),
+}
+
+
+class BenchmarkRunner:
+    """One benchmark run over a (corpus, queries, targets) triple."""
+
+    def __init__(self, dataset_name: str, root: str = "."):
+        self.dataset_name = dataset_name
+        self.root = root
+
+    # -------------------- data --------------------
+    def load_data(self, subset_size, target_size, split, seed=42):
+        if self.dataset_name == "qqp":
+            return datasets.load_qqp(subset_size, target_size, split, seed)
+        if self.dataset_name in ("msmarco", "ms_marco"):
+            return datasets.load_ms_marco(subset_size, target_size, split,
+                                          seed)
+        if self.dataset_name == "synthetic":
+            return None  # handled in run() via synthetic embeddings
+        raise ValueError(f"unknown dataset {self.dataset_name}")
+
+    # -------------------- run --------------------
+    def run(self, model_name: str = "all-roberta-large-v1",
+            subset_size: int = 7500, split: str = "validation",
+            target_size: int = 750, top_k: int = 10,
+            method: str = "all", target_dim=0.96,
+            encode_func: Optional[Callable] = None,
+            corpus_embs: Optional[np.ndarray] = None,
+            query_embs: Optional[np.ndarray] = None,
+            compute: bool = True, seed: int = 42,
+            batch_size: int = 256, dim: int = 768) -> list[dict]:
+        uid = encoders.generate_unique_id(
+            model_name, self.dataset_name, split, subset_size, target_size,
+            top_k=top_k,
+        )
+        print(f"--- {self.dataset_name.upper()} benchmark (top_k={top_k}) "
+              f"run id {uid} ---")
+
+        # ---- embeddings ----
+        if self.dataset_name == "synthetic":
+            synth = datasets.synthetic_retrieval(
+                subset_size, target_size, dim=dim, seed=seed
+            )
+            corpus_embs, query_embs = synth.corpus_embs, synth.query_embs
+            target_ids = synth.target_ids
+        else:
+            data = self.load_data(subset_size, target_size, split, seed)
+            target_ids = np.asarray(
+                [data.corpus.index(t) for t in data.targets], np.int64
+            )
+            if corpus_embs is None:
+                enc = encode_func or encoders.make_encoder(model_name)
+                corpus_embs = encoders.load_or_compute(
+                    encoders.embedding_cache_path(self.root, "corpus", uid),
+                    lambda: enc(data.corpus), compute,
+                )
+                query_embs = encoders.load_or_compute(
+                    encoders.embedding_cache_path(self.root, "queries", uid),
+                    lambda: enc(data.queries), compute,
+                )
+        corpus_embs = np.asarray(corpus_embs, np.float32)
+        query_embs = np.asarray(query_embs, np.float32)
+
+        # ---- whitening ----
+        wpath = encoders.model_cache_path(self.root, "pca_ica", uid)
+        if os.path.exists(wpath):
+            whitener = PCAICAWhiteningModel.load(wpath)
+        else:
+            fit_on = corpus_embs
+            if self.dataset_name in ("msmarco", "ms_marco"):
+                # msmarco fits whitening on corpus+queries
+                # (base_benchmark.py:100-127)
+                fit_on = np.concatenate([corpus_embs, query_embs])
+            whitener = PCAICAWhiteningModel.fit(
+                fit_on, pca_dim=target_dim, ica_max_iter=1000, seed=seed
+            )
+            os.makedirs(os.path.dirname(wpath), exist_ok=True)
+            whitener.save(wpath)
+        corpus_w = whitener.transform(corpus_embs)
+        query_w = whitener.transform(query_embs)
+        print(f"whitened dim: {corpus_w.shape[1]}")
+
+        # ---- method matrix ----
+        methods = METHOD_GROUPS.get(method, (method,))
+        results = []
+        dbs: dict[str, CobwebIndex] = {}
+
+        def get_db(whitened: bool) -> CobwebIndex:
+            key = "w" if whitened else "raw"
+            if key not in dbs:
+                embs = corpus_w if whitened else corpus_embs
+                t0 = time.perf_counter()
+                dbs[key] = CobwebIndex(
+                    corpus=None, corpus_embeddings=embs,
+                    config=TreeConfig(dim=embs.shape[1]),
+                )
+                dbs[key].build_prediction_index()
+                print(f"cobweb build ({key}): "
+                      f"{time.perf_counter()-t0:.1f}s")
+            return dbs[key]
+
+        for m in methods:
+            try:
+                res = self._run_method(
+                    m, corpus_embs, query_embs, corpus_w, query_w,
+                    target_ids, top_k, batch_size, get_db,
+                )
+            except ImportError as e:
+                print(f"[skip] {m}: {e}")
+                continue
+            if res is not None:
+                print(f"{res['method']}: recall@{min(top_k,10)}="
+                      f"{res.get(f'recall@{min(top_k,10)}', float('nan')):.4f}"
+                      f" {res['avg_latency_ms']:.3f} ms/q")
+                results.append(res)
+
+        out_path = encoders.results_path(self.root, self.dataset_name, uid)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        table = metrics.print_metrics_table(results, out_path, top_k=top_k)
+        print(table)
+        return results
+
+    def _run_method(self, m, corpus_embs, query_embs, corpus_w, query_w,
+                    target_ids, top_k, batch_size, get_db):
+        M = metrics.evaluate_retrieval
+        if m == "flat_ip":
+            r = baselines.make_flat_retriever(corpus_embs, "ip")
+            return M("Flat IP (TPU)", r, query_embs, target_ids, top_k,
+                     batch_size)
+        if m == "flat_l2":
+            r = baselines.make_flat_retriever(corpus_embs, "l2")
+            return M("Flat L2 (TPU)", r, query_embs, target_ids, top_k,
+                     batch_size)
+        if m == "flat_ip_pca":
+            r = baselines.make_flat_retriever(corpus_w, "ip")
+            return M("Flat IP PCA+ICA (TPU)", r, query_w, target_ids, top_k,
+                     batch_size)
+        if m == "hnsw":
+            if not baselines.hnswlib_available():
+                raise ImportError("hnswlib not installed")
+            r = baselines.make_hnswlib_retriever(corpus_embs)
+            return M("HNSWlib", r, query_embs, target_ids, top_k, batch_size)
+        if m == "hnsw_pca":
+            if not baselines.hnswlib_available():
+                raise ImportError("hnswlib not installed")
+            r = baselines.make_hnswlib_retriever(corpus_w)
+            return M("HNSWlib PCA+ICA", r, query_w, target_ids, top_k,
+                     batch_size)
+        if m == "annoy":
+            try:
+                r = baselines.make_annoy_retriever(corpus_embs)
+            except ImportError as e:
+                raise ImportError("annoy not installed") from e
+            return M("Annoy", r, query_embs, target_ids, top_k, batch_size)
+        if m in ("cobweb", "cobweb_fast", "cobweb_pca", "cobweb_pca_fast"):
+            whitened = "pca" in m
+            db = get_db(whitened)
+            q = query_w if whitened else query_embs
+            if m.endswith("fast"):
+                def retrieve(qb, k, db=db):
+                    out = db.predict_fast(qb, k=k, is_embedding=True,
+                                          return_ids=True)
+                    return np.asarray(out, np.int64)
+                name = ("Cobweb PCA+ICA Fast" if whitened
+                        else "Cobweb Fast")
+            else:
+                def retrieve(qb, k, db=db):
+                    out = db.predict(qb, k=k, is_embedding=True,
+                                     return_ids=True)
+                    return np.asarray(
+                        [row + [-1] * (k - len(row)) for row in out],
+                        np.int64,
+                    )
+                name = ("Cobweb PCA+ICA (beam)" if whitened
+                        else "Cobweb Basic (beam)")
+            return M(name + " (TPU)", retrieve, q, target_ids, top_k,
+                     batch_size)
+        raise ValueError(f"unknown method {m}")
+
+    # -------------------- CLI --------------------
+    @staticmethod
+    def create_argument_parser(description: str) -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser(description=description)
+        p.add_argument("--config", type=str, help="JSON config override")
+        p.add_argument("--model_name", type=str,
+                       default="all-roberta-large-v1")
+        p.add_argument("--subset_size", type=int, default=7500)
+        p.add_argument("--split", type=str, default="validation")
+        p.add_argument("--target_size", type=int, default=750)
+        p.add_argument("--top_k", type=int, default=10)
+        p.add_argument("--compute", action="store_true", default=True)
+        p.add_argument("--method", type=str, default="all",
+                       choices=sorted(METHOD_GROUPS))
+        p.add_argument("--dim", type=int, default=768,
+                       help="synthetic embedding dim")
+        return p
+
+    @staticmethod
+    def handle_config_and_args(args: argparse.Namespace) -> argparse.Namespace:
+        """argparse defaults <- JSON config file (reference :331-340)."""
+        if args.config:
+            with open(args.config) as f:
+                cfg = json.load(f)
+            for k, v in cfg.items():
+                if hasattr(args, k):
+                    setattr(args, k, v)
+        return args

@@ -1,0 +1,153 @@
+"""Cobweb-supervised query-encoder fine-tuning (flax/optax).
+
+TPU-native rebuild of src/training/cobweb_query_train.py: a projection head
+(Linear-ReLU-Linear, hidden 512, :89-102) maps query embeddings into the
+whitened document space, trained with cross-entropy over the
+*differentiable Cobweb rank scores* as logits — the gold label is the
+corpus row of the target passage (:104-126, where the reference labels by
+leaf id; sentences sharing a leaf share identical scores, so the objectives
+match).  AdamW lr=2e-5, batch 16 defaults (:151-191).
+
+Batch-first redesign: the reference loops per-query inside the loss; here
+``rank_scores`` already scores the whole batch in one device computation,
+so a training step is a single jitted value_and_grad.
+
+The base encoder is injected as precomputed query embeddings (the
+``encode_func``/.npy seam) — fine-tuning a full HF encoder on TPU slots in
+by swapping `apply_fn`, see bench/encoders.py.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from rag_cobweb_tpu.core import index as index_mod
+from rag_cobweb_tpu.core.wrapper import CobwebIndex
+
+
+class ProjectionHead(nn.Module):
+    out_dim: int
+    hidden_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(nn.Dense(self.hidden_dim)(x))
+        return nn.Dense(self.out_dim)(h)
+
+
+class QueryTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class CobwebQueryTrainer:
+    """Trains a projection head so projected queries rank their gold
+    passage first under the Cobweb leaf scores."""
+
+    def __init__(self, db: CobwebIndex, in_dim: int,
+                 hidden_dim: int = 512, temperature: float = 1.0,
+                 lr: float = 2e-5, seed: int = 0):
+        self.db = db
+        self.index = db.build_prediction_index()
+        self.temperature = temperature
+        self.head = ProjectionHead(out_dim=db.cfg.dim, hidden_dim=hidden_dim)
+        self.tx = optax.adamw(lr)
+        params = self.head.init(jax.random.PRNGKey(seed),
+                                jnp.zeros((1, in_dim)))
+        self.state = QueryTrainState(
+            params=params, opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    @partial(jax.jit, static_argnames=("self",))
+    def train_step(self, state: QueryTrainState, queries: jnp.ndarray,
+                   labels: jnp.ndarray):
+        """CE over rank-score logits for a (B, in_dim) batch with (B,) gold
+        corpus-row labels."""
+
+        def loss_fn(params):
+            proj = self.head.apply(params, queries)        # (B, D)
+            logits = index_mod.rank_scores(self.index, proj)
+            logits = logits / self.temperature
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return QueryTrainState(params, opt_state, state.step + 1), loss
+
+    def fit(self, query_embs: np.ndarray, gold_rows: np.ndarray,
+            epochs: int = 3, batch_size: int = 16, seed: int = 0,
+            save_dir: Optional[str] = None, log_every: int = 0):
+        query_embs = np.asarray(query_embs, np.float32)
+        gold_rows = np.asarray(gold_rows, np.int32)
+        rng = np.random.default_rng(seed)
+        n = (len(query_embs) // batch_size) * batch_size
+        losses = []
+        for epoch in range(1, epochs + 1):
+            order = rng.permutation(len(query_embs))[:n]
+            total = 0.0
+            for s in range(0, n, batch_size):
+                sel = order[s:s + batch_size]
+                self.state, loss = self.train_step(
+                    self.state, jnp.asarray(query_embs[sel]),
+                    jnp.asarray(gold_rows[sel]),
+                )
+                total += float(loss)
+            avg = total / max(n // batch_size, 1)
+            losses.append(avg)
+            if log_every:
+                print(f"[epoch {epoch}] avg CE loss {avg:.4f}")
+            if save_dir:
+                self.save(os.path.join(
+                    save_dir, f"cobweb_query_encoder_epoch{epoch}.pkl"
+                ))
+        return losses
+
+    def project(self, query_embs) -> np.ndarray:
+        return np.asarray(self.head.apply(
+            self.state.params,
+            jnp.asarray(np.asarray(query_embs, np.float32)),
+        ))
+
+    def evaluate(self, query_embs: np.ndarray, gold_rows: np.ndarray,
+                 k: int = 10) -> dict:
+        """recall@k / MRR / mean gold rank by full-score argsort (reference
+        evaluate :213-311)."""
+        proj = jnp.asarray(self.project(query_embs))
+        scores = np.asarray(index_mod.rank_scores(self.index, proj))
+        order = np.argsort(-scores, axis=1)
+        ranks = np.asarray([
+            int(np.where(order[i] == gold_rows[i])[0][0]) + 1
+            for i in range(len(gold_rows))
+        ])
+        return {
+            f"recall@{k}": float((ranks <= k).mean()),
+            "mrr": float((1.0 / ranks).mean()),
+            "mean_gold_rank": float(ranks.mean()),
+        }
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump({"params": jax.device_get(self.state.params),
+                         "temperature": self.temperature}, f)
+
+    def load_params(self, path: str):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.state = self.state._replace(
+            params=jax.tree.map(jnp.asarray, blob["params"])
+        )

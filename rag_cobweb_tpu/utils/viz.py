@@ -95,6 +95,12 @@ def visualize_grandparent_subtrees(tree, sentences, sids_by_leaf,
                     dot.edge(cid, f"l{l}")
             tag = hashlib.sha1(str(gp).encode()).hexdigest()[:8]
             path = os.path.join(output_dir, f"gp_{gp}_{tag}_{bi}")
-            dot.render(path, cleanup=True)
-            rendered.append(path + ".png")
+            try:
+                dot.render(path, cleanup=True)
+                rendered.append(path + ".png")
+            except Exception:
+                # `dot` binary missing: keep the graph source so it can be
+                # rendered elsewhere
+                dot.save(path + ".dot")
+                rendered.append(path + ".dot")
     return rendered

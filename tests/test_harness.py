@@ -1,0 +1,123 @@
+"""Harness-layer tests: metrics math, results-table round trip, unique ids,
+launcher script generation, case-study diff, and a small end-to-end
+synthetic benchmark run through BenchmarkRunner."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rag_cobweb_tpu.bench import metrics, report
+from rag_cobweb_tpu.bench.case_study import retrieval_diff
+from rag_cobweb_tpu.bench.encoders import generate_unique_id, infer_model_type
+from rag_cobweb_tpu.bench.launcher import (
+    load_experiments, run_experiments, write_slurm_script,
+)
+
+
+def test_retrieval_metrics_known_ranks():
+    retrieved = np.array([
+        [7, 1, 2, 3, 4],   # gold 7 at rank 1
+        [9, 8, 5, 0, 1],   # gold 5 at rank 3
+        [1, 2, 3, 4, 6],   # gold 0 absent
+    ])
+    gold = np.array([7, 5, 0])
+    m = metrics.retrieval_metrics(retrieved, gold, top_k=5)
+    assert m["recall@2"] == pytest.approx(1 / 3)
+    assert m["recall@5"] == pytest.approx(2 / 3)
+    assert m["mrr@5"] == pytest.approx((1.0 + 1 / 3 + 0.0) / 3)
+    # single-relevant nDCG: 1/log2(1+rank)
+    want_ndcg = (1.0 + 1 / np.log2(4) + 0.0) / 3
+    assert m["ndcg@5"] == pytest.approx(want_ndcg)
+
+
+def test_metrics_table_round_trip(tmp_path):
+    rows = [
+        {"method": "Flat IP (TPU)", "recall@5": 0.91, "recall@10": 0.95,
+         "mrr@5": 0.8, "mrr@10": 0.81, "ndcg@5": 0.85, "ndcg@10": 0.86,
+         "avg_latency_ms": 1.234, "qps": 810.0},
+        {"method": "Cobweb PCA+ICA Fast (TPU)", "recall@5": 0.90,
+         "recall@10": 0.94, "mrr@5": 0.79, "mrr@10": 0.80, "ndcg@5": 0.84,
+         "ndcg@10": 0.85, "avg_latency_ms": 0.2, "qps": 5000.0},
+    ]
+    out = tmp_path / "benchmark_m_synthetic_train_c1000_t100_k10.txt"
+    metrics.print_metrics_table(rows, str(out), k_values=(5, 10), top_k=10)
+    parsed = report.parse_results_file(str(out))
+    assert len(parsed) == 2
+    assert parsed[0]["method"] == "Flat IP (TPU)"
+    assert parsed[0]["recall@10"] == pytest.approx(0.95)
+    assert parsed[1]["qps"] == pytest.approx(5000.0)
+
+    results = report.collect_results(str(tmp_path))
+    tex = report.latex_metrics_table(results)
+    assert "\\begin{tabular}" in tex and "Cobweb" in tex
+    tex_rt = report.latex_runtime_table(results)
+    assert "latency" in tex_rt
+
+
+def test_unique_id_readable_and_hashed():
+    short = generate_unique_id("m", "qqp", "train", 100, 10, top_k=5)
+    assert "=" not in short and "/" not in short
+    long = generate_unique_id(
+        "sentence-transformers/all-roberta-large-v1", "qqp", "train",
+        10000, 1000, top_k=20, target_dim=0.96, extra="x" * 60,
+    )
+    assert long.endswith(tuple("0123456789abcdef")) and "_c10000_" in long
+
+
+def test_model_type_heuristics():
+    assert infer_model_type("all-roberta-large-v1") == "sentence_transformer"
+    assert infer_model_type("gtr-t5-large") == "sentence_transformer"
+    assert infer_model_type("openai-community/gpt2") == "gpt2"
+    assert infer_model_type("google/t5-v1_1-base") == "t5"
+    assert infer_model_type("facebook/dpr-question_encoder") == "dpr"
+    assert infer_model_type("some-bert-thing") == "bert"
+
+
+def test_launcher_merges_defaults_and_generates_scripts(tmp_path):
+    cfg = {
+        "defaults": {"script": "scripts/synthetic_benchmark.py",
+                     "slurm": {"partition": "tpu"}},
+        "experiments": [
+            {"name": "a", "args": {"subset_size": 100}},
+            {"name": "b", "slurm": {"time": "00:10:00"},
+             "args": {"subset_size": 200}},
+        ],
+    }
+    path = tmp_path / "exps.json"
+    path.write_text(json.dumps(cfg))
+    exps = load_experiments(str(path))
+    assert exps[0]["slurm"]["partition"] == "tpu"
+    assert exps[1]["slurm"]["time"] == "00:10:00"
+    script = write_slurm_script(exps[1], str(tmp_path / "jobs"), 1)
+    text = open(script).read()
+    assert "#SBATCH --time=00:10:00" in text and "--subset_size 200" in text
+    cmds = run_experiments(str(path), mode="local", dry_run=True)
+    assert len(cmds) == 2 and "--subset_size" in cmds[0]
+
+
+def test_case_study_diff():
+    ids_a = np.array([[1, 2], [3, 4], [5, 6]])
+    ids_b = np.array([[9, 2], [3, 9], [9, 9]])
+    gold = np.array([1, 3, 6])
+    d = retrieval_diff(ids_a, ids_b, gold, k=2)
+    assert list(d["a_only"]) == [0, 2]
+    assert list(d["both"]) == [1]
+
+
+def test_benchmark_runner_synthetic_end_to_end(tmp_path):
+    from rag_cobweb_tpu.bench.harness import BenchmarkRunner
+
+    runner = BenchmarkRunner("synthetic", root=str(tmp_path))
+    results = runner.run(
+        model_name="synthetic", subset_size=400, target_size=60,
+        split="train", top_k=10, method="scale", dim=64, batch_size=64,
+    )
+    by_name = {r["method"]: r for r in results}
+    assert any("Flat IP" in k for k in by_name)
+    cob = next(v for k, v in by_name.items() if "Cobweb" in k)
+    assert cob["recall@10"] > 0.7
+    # results file written and parseable
+    files = report.collect_results(str(tmp_path / "outputs"))
+    assert len(files) == 1
