@@ -65,25 +65,45 @@ def evaluate_retrieval(name: str, retrieve_fn, query_embs: np.ndarray,
     B = len(query_embs)
     all_ids = np.full((B, top_k), -1, np.int64)
     if warmup and B:  # exclude compile time from latency (jit warm-up)
-        retrieve_fn(query_embs[:min(batch_size, B)], top_k)
+        np.asarray(retrieve_fn(query_embs[:min(batch_size, B)], top_k))
+
+    def batches():
+        for s in range(0, B, batch_size):
+            chunk = query_embs[s:s + batch_size]
+            n = len(chunk)
+            if n < batch_size and B > batch_size:
+                # pad ragged tail to the bucketed shape -> no recompile
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - n,) + chunk.shape[1:],
+                                     chunk.dtype)]
+                )
+            yield s, n, chunk
+
+    # throughput: dispatch every batch asynchronously (jax queues device
+    # work), sync once at the end — how a serving pipeline would run
+    results = []
     t0 = time.perf_counter()
-    for s in range(0, B, batch_size):
-        chunk = query_embs[s:s + batch_size]
-        n = len(chunk)
-        if n < batch_size and B > batch_size:
-            # pad ragged tail to the bucketed shape -> no recompile
-            chunk = np.concatenate(
-                [chunk, np.zeros((batch_size - n,) + chunk.shape[1:],
-                                 chunk.dtype)]
-            )
-        ids = np.asarray(retrieve_fn(chunk, top_k))[:n]
-        all_ids[s:s + n, : ids.shape[1]] = ids
+    for s, n, chunk in batches():
+        results.append((s, n, retrieve_fn(chunk, top_k)))
+    host_results = [(s, n, np.asarray(ids)[:n]) for s, n, ids in results]
     elapsed = time.perf_counter() - t0
+    for s, n, ids in host_results:
+        all_ids[s:s + n, : ids.shape[1]] = ids
+
+    # latency: one synchronous single-batch round trip (median of 5)
+    lat_chunk = next(batches())[2]
+    lats = []
+    for _ in range(5):
+        t1 = time.perf_counter()
+        np.asarray(retrieve_fn(lat_chunk, top_k))
+        lats.append(time.perf_counter() - t1)
+    batch_latency = float(np.median(lats))
 
     out = retrieval_metrics(all_ids, target_ids, top_k, k_values)
     out["method"] = name
     out["time_taken"] = elapsed
     out["avg_latency_ms"] = 1000.0 * elapsed / max(B, 1)
+    out["batch_latency_ms"] = 1000.0 * batch_latency
     out["qps"] = B / elapsed if elapsed > 0 else float("inf")
     return out
 

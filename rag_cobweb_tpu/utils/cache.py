@@ -10,7 +10,7 @@ import os
 
 
 def enable_persistent_cache(path: str | None = None,
-                            min_compile_secs: float = 2.0) -> None:
+                            min_compile_secs: float = 0.3) -> None:
     import jax
 
     path = path or os.environ.get(
