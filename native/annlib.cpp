@@ -1,0 +1,378 @@
+// annlib: native CPU retrieval baselines for the rag_cobweb_tpu harness.
+//
+// Fills the role of the reference's third-party native baselines (FAISS flat
+// IP/L2, hnswlib cosine graph — benchmark_utils.py:536-566), neither of which
+// is installed in this image.  Exposed through a plain C ABI and loaded from
+// Python with ctypes (rag_cobweb_tpu/bench/native.py).
+//
+// Contents:
+//   * flat exact top-k (inner-product / L2 / cosine), multithreaded over
+//     queries;
+//   * a compact HNSW implementation (Malkov & Yashunin 2016): multi-layer
+//     greedy descent + ef-bounded best-first search at layer 0, heuristic
+//     neighbor selection, cosine or inner-product metric.
+//
+// Build: make -C native  (produces libannlib.so)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline float dot(const float* a, const float* b, int d) {
+  float s = 0.f;
+  for (int i = 0; i < d; ++i) s += a[i] * b[i];
+  return s;
+}
+
+inline float l2sq(const float* a, const float* b, int d) {
+  float s = 0.f;
+  for (int i = 0; i < d; ++i) {
+    float t = a[i] - b[i];
+    s += t * t;
+  }
+  return s;
+}
+
+void parallel_for(int64_t n, int threads, const std::function<void(int64_t)>& fn) {
+  if (threads <= 1 || n < 2) {
+    for (int64_t i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<int64_t> next(0);
+  std::vector<std::thread> pool;
+  int t = std::min<int64_t>(threads, n);
+  pool.reserve(t);
+  for (int j = 0; j < t; ++j) {
+    pool.emplace_back([&] {
+      for (;;) {
+        int64_t i = next.fetch_add(1);
+        if (i >= n) return;
+        fn(i);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// ------------------------------------------------------------------ //
+// HNSW                                                               //
+// ------------------------------------------------------------------ //
+
+struct HnswIndex {
+  int dim = 0;
+  int M = 16;                    // max neighbors per node (layer > 0)
+  int M0 = 32;                   // max neighbors at layer 0
+  int ef_construction = 100;
+  int ef_search = 50;
+  bool cosine = true;
+  int max_level = -1;
+  int64_t entry = -1;
+  std::vector<float> data;                 // normalized if cosine
+  std::vector<int> levels;                 // level per node
+  // adjacency: per level, per node, fixed slots (-1 empty)
+  std::vector<std::vector<int64_t>> links; // links[l][node*cap + j]
+  std::mt19937_64 rng{0x5eed};
+  std::mutex mtx;
+
+  int64_t size() const { return levels.size(); }
+
+  const float* vec(int64_t i) const { return data.data() + i * dim; }
+
+  float dist(const float* a, const float* b) const {
+    // smaller = closer
+    return -dot(a, b, dim);  // vectors pre-normalized for cosine
+  }
+
+  int cap(int level) const { return level == 0 ? M0 : M; }
+
+  int random_level() {
+    std::uniform_real_distribution<double> u(0.0, 1.0);
+    double r = u(rng);
+    double ml = 1.0 / std::log(std::max(2, M));
+    return static_cast<int>(-std::log(std::max(r, 1e-12)) * ml);
+  }
+
+  using Cand = std::pair<float, int64_t>;  // (dist, id)
+
+  // best-first search at one layer; returns up to ef closest (max-heap)
+  std::priority_queue<Cand> search_layer(const float* q, int64_t ep,
+                                         int level, int ef) const {
+    std::vector<uint8_t> visited(size(), 0);
+    std::priority_queue<Cand, std::vector<Cand>, std::greater<Cand>> cands;
+    std::priority_queue<Cand> best;  // max-heap on dist: top = worst kept
+    float d0 = dist(q, vec(ep));
+    cands.emplace(d0, ep);
+    best.emplace(d0, ep);
+    visited[ep] = 1;
+    while (!cands.empty()) {
+      auto [d, v] = cands.top();
+      if (d > best.top().first && (int)best.size() >= ef) break;
+      cands.pop();
+      const int c = cap(level);
+      const int64_t* nb = links[level].data() + v * c;
+      for (int j = 0; j < c; ++j) {
+        int64_t u = nb[j];
+        if (u < 0 || visited[u]) continue;
+        visited[u] = 1;
+        float du = dist(q, vec(u));
+        if ((int)best.size() < ef || du < best.top().first) {
+          cands.emplace(du, u);
+          best.emplace(du, u);
+          if ((int)best.size() > ef) best.pop();
+        }
+      }
+    }
+    return best;
+  }
+
+  // heuristic neighbor selection (keep diverse close neighbors)
+  std::vector<int64_t> select_neighbors(const float* q,
+                                        std::vector<Cand> cands, int m) const {
+    std::sort(cands.begin(), cands.end());
+    std::vector<int64_t> out;
+    for (auto& [d, v] : cands) {
+      if ((int)out.size() >= m) break;
+      bool ok = true;
+      for (int64_t w : out) {
+        if (dist(vec(v), vec(w)) < d) { ok = false; break; }
+      }
+      if (ok) out.push_back(v);
+    }
+    // backfill with closest if the heuristic was too strict
+    for (auto& [d, v] : cands) {
+      if ((int)out.size() >= m) break;
+      if (std::find(out.begin(), out.end(), v) == out.end())
+        out.push_back(v);
+    }
+    return out;
+  }
+
+  void link(int level, int64_t a, int64_t b) {
+    const int c = cap(level);
+    int64_t* nb = links[level].data() + a * c;
+    for (int j = 0; j < c; ++j) {
+      if (nb[j] < 0) { nb[j] = b; return; }
+    }
+    // full: re-select among existing + b
+    std::vector<Cand> cands;
+    cands.reserve(c + 1);
+    for (int j = 0; j < c; ++j) cands.emplace_back(dist(vec(a), vec(nb[j])), nb[j]);
+    cands.emplace_back(dist(vec(a), vec(b)), b);
+    auto sel = select_neighbors(vec(a), cands, c);
+    for (int j = 0; j < c; ++j) nb[j] = j < (int)sel.size() ? sel[j] : -1;
+  }
+
+  void ensure_levels(int level, int64_t n_nodes) {
+    while ((int)links.size() <= level) {
+      int l = links.size();
+      links.emplace_back();
+      links[l].assign(n_nodes * cap(l), -1);
+    }
+    for (int l = 0; l < (int)links.size(); ++l) {
+      links[l].resize(n_nodes * cap(l), -1);
+    }
+  }
+
+  void add(const float* x, int64_t id) {
+    int level = random_level();
+    {
+      std::lock_guard<std::mutex> g(mtx);
+      ensure_levels(std::max(level, std::max(max_level, 0)), size());
+      if (entry < 0) {
+        entry = id;
+        max_level = level;
+        return;
+      }
+    }
+    int64_t ep = entry;
+    // greedy descent through upper layers
+    for (int l = max_level; l > level; --l) {
+      bool improved = true;
+      float d = dist(x, vec(ep));
+      while (improved) {
+        improved = false;
+        const int c = cap(l);
+        const int64_t* nb = links[l].data() + ep * c;
+        for (int j = 0; j < c; ++j) {
+          if (nb[j] < 0) continue;
+          float dn = dist(x, vec(nb[j]));
+          if (dn < d) { d = dn; ep = nb[j]; improved = true; }
+        }
+      }
+    }
+    // insert at layers min(level, max_level)..0
+    for (int l = std::min(level, max_level); l >= 0; --l) {
+      auto best = search_layer(x, ep, l, ef_construction);
+      std::vector<Cand> cands;
+      while (!best.empty()) { cands.push_back(best.top()); best.pop(); }
+      auto sel = select_neighbors(x, cands, cap(l));
+      ep = sel.empty() ? ep : sel[0];
+      std::lock_guard<std::mutex> g(mtx);
+      for (int64_t v : sel) {
+        link(l, id, v);
+        link(l, v, id);
+      }
+    }
+    if (level > max_level) {
+      std::lock_guard<std::mutex> g(mtx);
+      max_level = level;
+      entry = id;
+    }
+  }
+
+  void search(const float* q, int k, int64_t* out_ids, float* out_scores) const {
+    if (entry < 0) {
+      for (int i = 0; i < k; ++i) { out_ids[i] = -1; out_scores[i] = 0.f; }
+      return;
+    }
+    int64_t ep = entry;
+    for (int l = max_level; l > 0; --l) {
+      bool improved = true;
+      float d = dist(q, vec(ep));
+      while (improved) {
+        improved = false;
+        const int c = cap(l);
+        const int64_t* nb = links[l].data() + ep * c;
+        for (int j = 0; j < c; ++j) {
+          if (nb[j] < 0) continue;
+          float dn = dist(q, vec(nb[j]));
+          if (dn < d) { d = dn; ep = nb[j]; improved = true; }
+        }
+      }
+    }
+    auto best = search_layer(q, ep, 0, std::max(ef_search, k));
+    std::vector<Cand> res;
+    while (!best.empty()) { res.push_back(best.top()); best.pop(); }
+    std::sort(res.begin(), res.end());
+    for (int i = 0; i < k; ++i) {
+      if (i < (int)res.size()) {
+        out_ids[i] = res[i].second;
+        out_scores[i] = -res[i].first;  // back to similarity
+      } else {
+        out_ids[i] = -1;
+        out_scores[i] = 0.f;
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---------------- flat exact top-k ----------------
+// metric: 0 = inner product, 1 = L2 (returns negative distance), 2 = cosine
+void ann_flat_topk(const float* corpus, int64_t n, int dim,
+                   const float* queries, int64_t nq, int k, int metric,
+                   int threads, int64_t* out_ids, float* out_scores) {
+  std::vector<float> norms;
+  if (metric == 2) {
+    norms.resize(n);
+    for (int64_t i = 0; i < n; ++i)
+      norms[i] = 1.f / std::max(1e-12f, std::sqrt(dot(corpus + i * dim,
+                                                      corpus + i * dim, dim)));
+  }
+  parallel_for(nq, threads, [&](int64_t qi) {
+    const float* q = queries + qi * dim;
+    float qn = 1.f;
+    if (metric == 2)
+      qn = 1.f / std::max(1e-12f, std::sqrt(dot(q, q, dim)));
+    using P = std::pair<float, int64_t>;
+    std::priority_queue<P, std::vector<P>, std::greater<P>> heap;  // min-heap
+    for (int64_t i = 0; i < n; ++i) {
+      float s;
+      if (metric == 1) s = -l2sq(q, corpus + i * dim, dim);
+      else if (metric == 2) s = dot(q, corpus + i * dim, dim) * qn * norms[i];
+      else s = dot(q, corpus + i * dim, dim);
+      if ((int)heap.size() < k) heap.emplace(s, i);
+      else if (s > heap.top().first) { heap.pop(); heap.emplace(s, i); }
+    }
+    std::vector<P> res;
+    while (!heap.empty()) { res.push_back(heap.top()); heap.pop(); }
+    std::sort(res.rbegin(), res.rend());
+    for (int i = 0; i < k; ++i) {
+      if (i < (int)res.size()) {
+        out_ids[qi * k + i] = res[i].second;
+        out_scores[qi * k + i] = res[i].first;
+      } else {
+        out_ids[qi * k + i] = -1;
+        out_scores[qi * k + i] = 0.f;
+      }
+    }
+  });
+}
+
+// ---------------- HNSW ----------------
+void* ann_hnsw_create(int dim, int M, int ef_construction, int ef_search,
+                      int cosine) {
+  auto* idx = new HnswIndex();
+  idx->dim = dim;
+  idx->M = M;
+  idx->M0 = 2 * M;
+  idx->ef_construction = ef_construction;
+  idx->ef_search = ef_search;
+  idx->cosine = cosine != 0;
+  return idx;
+}
+
+void ann_hnsw_add(void* handle, const float* xs, int64_t n) {
+  auto* idx = static_cast<HnswIndex*>(handle);
+  int64_t start = idx->size();
+  idx->data.resize((start + n) * idx->dim);
+  idx->levels.resize(start + n, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    float* dst = idx->data.data() + (start + i) * idx->dim;
+    std::memcpy(dst, xs + i * idx->dim, idx->dim * sizeof(float));
+    if (idx->cosine) {
+      float nm = std::sqrt(dot(dst, dst, idx->dim));
+      if (nm > 1e-12f)
+        for (int d = 0; d < idx->dim; ++d) dst[d] /= nm;
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) idx->add(idx->vec(start + i), start + i);
+}
+
+void ann_hnsw_search(void* handle, const float* queries, int64_t nq, int k,
+                     int threads, int64_t* out_ids, float* out_scores) {
+  auto* idx = static_cast<HnswIndex*>(handle);
+  std::vector<float> qbuf;
+  const float* qdata = queries;
+  if (idx->cosine) {
+    qbuf.assign(queries, queries + nq * idx->dim);
+    for (int64_t i = 0; i < nq; ++i) {
+      float* q = qbuf.data() + i * idx->dim;
+      float nm = std::sqrt(dot(q, q, idx->dim));
+      if (nm > 1e-12f)
+        for (int d = 0; d < idx->dim; ++d) q[d] /= nm;
+    }
+    qdata = qbuf.data();
+  }
+  parallel_for(nq, threads, [&](int64_t qi) {
+    idx->search(qdata + qi * idx->dim, k, out_ids + qi * k,
+                out_scores + qi * k);
+  });
+}
+
+void ann_hnsw_set_ef(void* handle, int ef) {
+  static_cast<HnswIndex*>(handle)->ef_search = ef;
+}
+
+int64_t ann_hnsw_size(void* handle) {
+  return static_cast<HnswIndex*>(handle)->size();
+}
+
+void ann_hnsw_free(void* handle) {
+  delete static_cast<HnswIndex*>(handle);
+}
+
+}  // extern "C"

@@ -248,6 +248,44 @@ def synthetic_retrieval(corpus_size: int = 10000, target_size: int = 1000,
     )
 
 
+def load_sts(split: str = "train",
+             score_threshold: Optional[float] = None) -> tuple:
+    """STS-Benchmark sentence pairs with similarity scores (reference
+    utils/datasets.py:109-173 load_sts_embeddings/combiner role).  Returns
+    (sentence_pairs [(s1, s2), ...], scores (N,) in [0, 5])."""
+    from datasets import load_dataset
+
+    ds = load_dataset("glue", "stsb", split=split)
+    pairs, scores = [], []
+    for row in ds:
+        if score_threshold is not None and row["label"] < score_threshold:
+            continue
+        pairs.append((row["sentence1"], row["sentence2"]))
+        scores.append(float(row["label"]))
+    return pairs, np.asarray(scores, np.float32)
+
+
+def sts_embeddings(encode_func, split: str = "train",
+                   score_threshold: Optional[float] = None) -> tuple:
+    """Encode STS pairs -> (embs1 (N,D), embs2 (N,D), scores (N,))."""
+    pairs, scores = load_sts(split, score_threshold)
+    embs1 = np.asarray(encode_func([a for a, _ in pairs]), np.float32)
+    embs2 = np.asarray(encode_func([b for _, b in pairs]), np.float32)
+    return embs1, embs2, scores
+
+
+def combine_sts_splits(encode_func, splits=("train", "validation"),
+                       score_threshold: Optional[float] = None) -> tuple:
+    """Concatenate several STS splits (reference combiner :150-173)."""
+    e1s, e2s, ss = [], [], []
+    for split in splits:
+        e1, e2, s = sts_embeddings(encode_func, split, score_threshold)
+        e1s.append(e1)
+        e2s.append(e2)
+        ss.append(s)
+    return (np.concatenate(e1s), np.concatenate(e2s), np.concatenate(ss))
+
+
 def load_embeddings(filepath: str) -> Optional[np.ndarray]:
     """Load a ``.npy`` embedding cache (reference datasets.py:101-109 and the
     cache layout of benchmark_utils.py:143-168)."""

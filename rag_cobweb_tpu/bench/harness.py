@@ -32,7 +32,7 @@ from rag_cobweb_tpu.whitening import PCAICAWhiteningModel
 METHOD_GROUPS = {
     "all": ("flat_ip", "flat_l2", "flat_ip_pca", "cobweb", "cobweb_fast",
             "cobweb_pca", "cobweb_pca_fast"),
-    "extra": ("flat_ip", "flat_l2", "hnsw", "hnsw_pca", "annoy",
+    "extra": ("flat_ip", "flat_l2", "flat_cpu", "hnsw", "hnsw_pca", "annoy",
               "cobweb_pca", "cobweb_pca_fast"),
     "cobweb": ("cobweb", "cobweb_fast"),
     "cobweb_pca": ("cobweb_pca", "cobweb_pca_fast"),
@@ -174,17 +174,26 @@ class BenchmarkRunner:
             r = baselines.make_flat_retriever(corpus_w, "ip")
             return M("Flat IP PCA+ICA (TPU)", r, query_w, target_ids, top_k,
                      batch_size)
-        if m == "hnsw":
-            if not baselines.hnswlib_available():
-                raise ImportError("hnswlib not installed")
-            r = baselines.make_hnswlib_retriever(corpus_embs)
-            return M("HNSWlib", r, query_embs, target_ids, top_k, batch_size)
-        if m == "hnsw_pca":
-            if not baselines.hnswlib_available():
-                raise ImportError("hnswlib not installed")
-            r = baselines.make_hnswlib_retriever(corpus_w)
-            return M("HNSWlib PCA+ICA", r, query_w, target_ids, top_k,
+        if m in ("hnsw", "hnsw_pca"):
+            embs = corpus_w if m.endswith("pca") else corpus_embs
+            q = query_w if m.endswith("pca") else query_embs
+            tag = " PCA+ICA" if m.endswith("pca") else ""
+            if baselines.hnswlib_available():
+                r = baselines.make_hnswlib_retriever(embs)
+                return M("HNSWlib" + tag, r, q, target_ids, top_k, batch_size)
+            from rag_cobweb_tpu.bench import native
+            if not native.available():
+                raise ImportError("neither hnswlib nor native annlib present")
+            r = native.make_native_hnsw_retriever(embs)
+            return M("HNSW (native C++)" + tag, r, q, target_ids, top_k,
                      batch_size)
+        if m == "flat_cpu":
+            from rag_cobweb_tpu.bench import native
+            if not native.available():
+                raise ImportError("native annlib not built")
+            r = native.make_native_flat_retriever(corpus_embs, "ip")
+            return M("Flat IP (native C++)", r, query_embs, target_ids,
+                     top_k, batch_size)
         if m == "annoy":
             try:
                 r = baselines.make_annoy_retriever(corpus_embs)

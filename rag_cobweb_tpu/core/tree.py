@@ -641,6 +641,44 @@ class CobwebTree:
         params["root"] = root_d
         return json.dumps(params)
 
+    def save_npz(self, path: str, **extra_arrays):
+        """Fast binary checkpoint of the full flat state (the JSON schema is
+        reference-compatible but impractical beyond ~10^4 nodes; this is the
+        production path — one compressed npz, O(state) bytes)."""
+        import json as _json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        st = self._host_arrays()
+        np.savez_compressed(
+            path,
+            __cfg__=np.frombuffer(
+                _json.dumps(self.cfg.to_json_dict()).encode(), dtype=np.uint8
+            ),
+            n_inserted=np.asarray(self.n_inserted),
+            **st._asdict(),
+            **extra_arrays,
+        )
+
+    @classmethod
+    def load_npz(cls, path: str, seed: int = 0):
+        """Restore a binary checkpoint; returns (tree, dict_of_extra_arrays)."""
+        import json as _json
+
+        with np.load(path, allow_pickle=True) as data:
+            cfg = TreeConfig.from_json_dict(
+                _json.loads(bytes(data["__cfg__"]).decode())
+            )
+            fields = set(TreeState._fields)
+            st = TreeState(**{k: jnp.asarray(data[k]) for k in fields})
+            extras = {k: data[k] for k in data.files
+                      if k not in fields | {"__cfg__", "n_inserted"}}
+            n_inserted = int(data["n_inserted"])
+        tree = cls(cfg, capacity=st.capacity, seed=seed)
+        tree.state = st
+        tree.n_inserted = n_inserted
+        return tree, extras
+
     @classmethod
     def load_json(cls, json_string: str, seed: int = 0):
         """Rebuild the flat tree from the nested schema

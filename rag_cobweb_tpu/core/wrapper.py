@@ -289,6 +289,42 @@ class CobwebIndex:
         obj.max_depth = 0
         return obj
 
+    def save(self, path: str):
+        """Binary checkpoint (npz tree state + sentence bookkeeping) — the
+        scalable alternative to the reference-schema ``dump_json``."""
+        self.tree.save_npz(
+            path,
+            leaf_of_sentence=np.asarray(self.leaf_of_sentence, np.int64),
+            sentences=np.asarray(
+                [s if s is not None else "" for s in self.sentences],
+                dtype=object,
+            ),
+            sentence_is_none=np.asarray(
+                [s is None for s in self.sentences], bool
+            ),
+        )
+
+    @staticmethod
+    def load(path: str, encode_func: Callable = _identity_encode
+             ) -> "CobwebIndex":
+        tree, extras = CobwebTree.load_npz(path)
+        obj = CobwebIndex.__new__(CobwebIndex)
+        obj.encode_func = encode_func
+        obj.cfg = tree.cfg
+        obj.tree = tree
+        is_none = extras["sentence_is_none"]
+        obj.sentences = [
+            None if none else str(s)
+            for s, none in zip(extras["sentences"], is_none)
+        ]
+        obj.leaf_of_sentence = [int(l) for l in extras["leaf_of_sentence"]]
+        obj._index = None
+        obj._level_weights = None
+        obj._weight_schedule = None
+        obj._schedule_params = {}
+        obj.max_depth = 0
+        return obj
+
     # ------------------------------------------------------------------ #
     # inspection / viz                                                   #
     # ------------------------------------------------------------------ #
