@@ -52,7 +52,7 @@ def main():
 
     t0 = time.perf_counter()
     whitener = PCAICAWhiteningModel.fit(
-        data.corpus_embs, pca_dim=args.pca_dim, ica_max_iter=500, seed=0
+        data.corpus_embs, pca_dim=args.pca_dim, ica_max_iter=500, seed=0, ica_sample_size=10000
     )
     corpus_w = whitener.transform(data.corpus_embs)
     queries_w = whitener.transform(data.query_embs)
@@ -82,11 +82,16 @@ def main():
         f"steady-state {steady_rate:.0f} inserts/s)")
 
     db.build_prediction_index()
+    use_blocked = len(db) >= db.blocked_threshold
+    blocked = db._blocked_index() if use_blocked else None
 
     def cobweb_retrieve(q, k):
         import jax.numpy as jnp
         from rag_cobweb_tpu.core import index as index_mod
-        _, ids = index_mod.query_topk(db._index, jnp.asarray(q), k)
+        if use_blocked:
+            _, ids = index_mod.blocked_query_topk(blocked, jnp.asarray(q), k)
+        else:
+            _, ids = index_mod.query_topk(db._index, jnp.asarray(q), k)
         return ids  # device array: lets the evaluator pipeline batches
 
     res = evaluate_retrieval(

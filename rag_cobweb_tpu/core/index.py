@@ -217,6 +217,118 @@ def query_topk(index: PredictionIndex, queries: jnp.ndarray, k: int,
 
 
 # ---------------------------------------------------------------------------
+# blocked (gather-free) indexed scoring — the MXU-native large-scale path
+# ---------------------------------------------------------------------------
+
+class BlockedIndex(NamedTuple):
+    """Block-local dense formulation of the prediction index.
+
+    Sentences are grouped into blocks of ``TS`` in BFS-leaf order, so each
+    block's root->leaf paths touch a *small local set* of nodes (contiguous
+    subtrees + the shared upper levels).  Per block we replicate those
+    nodes' GEMM terms and densify the path weights, which turns the whole
+    query into three batched matmuls:
+
+        nlp[b, s, m]   = q[b] . movt[s, m] - 0.5 q^2[b] . ivt[s, m] + const[s, m]
+        score[b, s, t] = sum_m nlp[b, s, m] * W[s, m, t]
+
+    — pure MXU work, no gathers, O(S) total, unlike the (B, S) gather chain
+    of ``rank_scores`` whose HBM traffic is P * B * S.  This is the path to
+    1M+ leaves on a chip.
+    """
+
+    ivt_b: jnp.ndarray     # (NB, M, D)
+    movt_b: jnp.ndarray    # (NB, M, D)
+    const_b: jnp.ndarray   # (NB, M)
+    W: jnp.ndarray         # (NB, M, TS) dense local path weights
+    valid: jnp.ndarray     # (NB, TS) bool — padding rows
+    sid_of_slot: jnp.ndarray  # (NB, TS) block slot -> original sentence id
+
+
+def build_blocked_index(index: PredictionIndex, block_size: int = 512,
+                        node_pad: int = 128) -> BlockedIndex:
+    """Derive the blocked form from a built PredictionIndex (host-side
+    structure work, device-side stats replication)."""
+    paths = np.asarray(index.paths)
+    weights = np.asarray(index.path_weights)
+    order = np.asarray(index.sentence_order)       # sentences in leaf order
+    S, P = paths.shape
+    TS = block_size
+    NB = max(1, -(-S // TS))
+
+    local_nodes: list[np.ndarray] = []
+    W_blocks = []
+    valid = np.zeros((NB, TS), bool)
+    sid_of_slot = np.zeros((NB, TS), np.int64)
+    max_m = 0
+    per_block = []
+    for b in range(NB):
+        sids = order[b * TS:(b + 1) * TS]
+        n = len(sids)
+        valid[b, :n] = True
+        sid_of_slot[b, :n] = sids
+        bp = paths[sids]                            # (n, P)
+        bw = weights[sids]
+        nodes = np.unique(bp[bp >= 0])
+        max_m = max(max_m, len(nodes))
+        per_block.append((nodes, bp, bw, n))
+
+    M = -(-max_m // node_pad) * node_pad
+    ivt = np.asarray(index.inv_var_T)               # (D, N)
+    movt = np.asarray(index.mu_over_var_T)
+    const = np.asarray(index.const)
+    D = ivt.shape[0]
+
+    ivt_b = np.ones((NB, M, D), np.float32)
+    movt_b = np.zeros((NB, M, D), np.float32)
+    const_b = np.zeros((NB, M), np.float32)
+    W = np.zeros((NB, M, TS), np.float32)
+    for b, (nodes, bp, bw, n) in enumerate(per_block):
+        lut = np.full(int(nodes.max(initial=0)) + 2, -1, np.int64)
+        lut[nodes] = np.arange(len(nodes))
+        ivt_b[b, : len(nodes)] = ivt[:, nodes].T
+        movt_b[b, : len(nodes)] = movt[:, nodes].T
+        const_b[b, : len(nodes)] = const[nodes]
+        # vectorized scatter-add of the (n, P) path weights into (M, TS)
+        t_idx = np.repeat(np.arange(n), P)
+        flat_nodes = bp[:n].reshape(-1)
+        ok = flat_nodes >= 0
+        np.add.at(W[b], (lut[flat_nodes[ok]], t_idx[ok]),
+                  bw[:n].reshape(-1)[ok])
+
+    return BlockedIndex(
+        ivt_b=jnp.asarray(ivt_b), movt_b=jnp.asarray(movt_b),
+        const_b=jnp.asarray(const_b), W=jnp.asarray(W),
+        valid=jnp.asarray(valid), sid_of_slot=jnp.asarray(sid_of_slot),
+    )
+
+
+def blocked_scores(bidx: BlockedIndex, queries: jnp.ndarray) -> jnp.ndarray:
+    """(B, D) -> (B, NB, TS) path scores via three batched matmuls."""
+    hi = jax.lax.Precision.HIGHEST
+    nlp = (
+        jnp.einsum("bd,smd->sbm", queries, bidx.movt_b, precision=hi)
+        - 0.5 * jnp.einsum("bd,smd->sbm", jnp.square(queries), bidx.ivt_b,
+                           precision=hi)
+        + bidx.const_b[:, None, :]
+    )                                                  # (NB, B, M)
+    scores = jnp.einsum("sbm,smt->bst", nlp, bidx.W, precision=hi)
+    return jnp.where(bidx.valid[None, :, :], scores, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def blocked_query_topk(bidx: BlockedIndex, queries: jnp.ndarray, k: int):
+    """Batched top-k over the blocked scores -> (scores, sentence ids)."""
+    scores = blocked_scores(bidx, queries)
+    B, NB, TS = scores.shape
+    flat = scores.reshape(B, NB * TS)
+    k = min(k, NB * TS)
+    top, pos = jax.lax.top_k(flat, k)
+    sids = bidx.sid_of_slot.reshape(-1)[pos]
+    return top, sids
+
+
+# ---------------------------------------------------------------------------
 # beam-search query (reference best-first tree search, batched)
 # ---------------------------------------------------------------------------
 

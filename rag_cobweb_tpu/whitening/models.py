@@ -109,11 +109,22 @@ class PCAICAWhiteningModel:
 
     @classmethod
     def fit(cls, X, pca_dim=256, eps: float = 1e-8,
-            ica_max_iter: int = 5000, ica_tol: float = 1e-3, seed: int = 0):
-        """PCA -> unit-variance normalize -> FastICA (reference :55-76)."""
+            ica_max_iter: int = 5000, ica_tol: float = 1e-3, seed: int = 0,
+            ica_sample_size: int = 20000):
+        """PCA -> unit-variance normalize -> FastICA (reference :55-76).
+
+        ``ica_sample_size``: the FastICA fixed point costs O(n * k^2) per
+        iteration; above this many rows the ICA stage fits on a random
+        subsample (the PCA stage always uses all rows).  Pass 0 to disable.
+        """
         mean, components, explained_var = _pca_fit(X, pca_dim)
         Xp = (np.asarray(X, np.float64) - mean) @ components.T
         Xp = Xp / np.sqrt(explained_var + eps)
+        if ica_sample_size and len(Xp) > ica_sample_size:
+            sel = np.random.default_rng(seed).choice(
+                len(Xp), ica_sample_size, replace=False
+            )
+            Xp = Xp[sel]
         res = fastica(Xp, n_components=components.shape[0],
                       max_iter=ica_max_iter, tol=ica_tol, seed=seed)
         # fold ICA's internal centering of the (already ~zero-mean) PCA

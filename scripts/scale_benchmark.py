@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Streaming-scale benchmark (BASELINE.json config #5: incremental inserts
+at large corpus sizes, indexed + beam queries vs exact and native-HNSW
+baselines at equal index memory).
+
+Streams the corpus in chunks through ``CobwebIndex.add_sentences``, and at
+each checkpoint size reports steady-state insert rate, index build time,
+recall@10 and pipelined QPS for: cobweb-fast (indexed), cobweb beam search,
+exact flat (device), and native C++ HNSW.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from rag_cobweb_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--max-size", type=int, default=100000)
+    p.add_argument("--checkpoints", type=str, default="10000,40000,100000")
+    p.add_argument("--queries", type=int, default=1000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--pca-dim", type=int, default=128)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--beam-width", type=int, default=128)
+    p.add_argument("--chunk", type=int, default=2048)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from rag_cobweb_tpu.bench.datasets import synthetic_retrieval
+    from rag_cobweb_tpu.bench.baselines import FlatIndex
+    from rag_cobweb_tpu.bench.metrics import evaluate_retrieval
+    from rag_cobweb_tpu.bench import native
+    from rag_cobweb_tpu.core.config import TreeConfig
+    from rag_cobweb_tpu.core.wrapper import CobwebIndex
+    from rag_cobweb_tpu.core import index as index_mod
+    from rag_cobweb_tpu.whitening import PCAICAWhiteningModel
+
+    sizes = sorted(int(s) for s in args.checkpoints.split(","))
+    sizes = [s for s in sizes if s <= args.max_size]
+    data = synthetic_retrieval(args.max_size, args.queries, args.dim,
+                               n_clusters=max(256, args.max_size // 256))
+    # fit whitening on the first checkpoint's worth (streaming setting:
+    # whitening is fit once on an initial sample)
+    wh = PCAICAWhiteningModel.fit(data.corpus_embs[: sizes[0]],
+                                  pca_dim=args.pca_dim, ica_max_iter=300)
+    corpus_w = wh.transform(data.corpus_embs)
+    queries_w = wh.transform(data.query_embs)
+
+    db = CobwebIndex(corpus=None, corpus_embeddings=None,
+                     config=TreeConfig(dim=corpus_w.shape[1]),
+                     capacity=4 * args.max_size + 16)
+    inserted = 0
+    results = []
+    for size in sizes:
+        t0 = time.perf_counter()
+        while inserted < size:
+            n = min(args.chunk, size - inserted)
+            db.add_sentences([None] * n, corpus_w[inserted:inserted + n])
+            inserted += n
+        dt = time.perf_counter() - t0
+        rate = (size - (results[-1]["size"] if results else 0)) / dt
+        t0 = time.perf_counter()
+        db.build_prediction_index()
+        index_s = time.perf_counter() - t0
+
+        # only queries whose gold is already inserted
+        mask = data.target_ids < size
+        q = queries_w[mask]
+        gold = data.target_ids[mask]
+
+        def cobweb_fast(qb, k):
+            _, ids = index_mod.query_topk(db._index, jnp.asarray(qb), k)
+            return ids
+
+        def cobweb_beam(qb, k):
+            _, leaves = index_mod.beam_search_topk(
+                db._index, jnp.asarray(qb), k, beam_width=args.beam_width,
+                max_depth=max(db.max_depth, 1),
+            )
+            return index_mod.leaves_to_sentence_ids(
+                db._index, np.asarray(leaves), k
+            )
+
+        flat = FlatIndex(data.corpus_embs[:size], metric="l2")
+        row = {"size": size, "insert_rate": round(rate, 1),
+               "index_build_s": round(index_s, 2)}
+        evals = [
+            ("cobweb_fast", cobweb_fast, q, gold),
+            ("cobweb_beam", cobweb_beam, q, gold),
+            ("flat_exact", lambda qb, k: flat.search(qb, k),
+             data.query_embs[mask], gold),
+        ]
+        if native.available():
+            hnsw = native.make_native_hnsw_retriever(
+                data.corpus_embs[:size], ef=100
+            )
+            evals.append(("hnsw_cpp", hnsw, data.query_embs[mask], gold))
+        for name, fn, qq, gg in evals:
+            r = evaluate_retrieval(name, fn, qq, gg, args.k,
+                                   batch_size=args.batch)
+            row[f"{name}_recall@{args.k}"] = round(
+                r.get(f"recall@{args.k}", 0.0), 4)
+            row[f"{name}_qps"] = round(r["qps"], 1)
+            row[f"{name}_ms"] = round(r["avg_latency_ms"], 4)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

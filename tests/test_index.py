@@ -119,3 +119,32 @@ def test_rank_scores_differentiable(built):
     g = jax.grad(loss)(jnp.asarray(xs[0]))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_blocked_index_matches_rank_scores(built):
+    """The gather-free blocked formulation must reproduce the per-sentence
+    path scores exactly (same math, different data layout)."""
+    tree, idx, xs, leaves = built
+    bidx = index_mod.build_blocked_index(idx, block_size=16, node_pad=8)
+    q = jnp.asarray(xs[:5])
+    want = np.asarray(index_mod.rank_scores(idx, q))          # (B, S)
+    got = np.asarray(index_mod.blocked_scores(bidx, q))        # (B, NB, TS)
+    sid = np.asarray(bidx.sid_of_slot)
+    valid = np.asarray(bidx.valid)
+    for b in range(5):
+        for nb in range(sid.shape[0]):
+            for t in range(sid.shape[1]):
+                if valid[nb, t]:
+                    assert got[b, nb, t] == pytest.approx(
+                        want[b, sid[nb, t]], rel=1e-3, abs=1e-2)
+
+
+def test_blocked_query_topk_agrees(built):
+    tree, idx, xs, leaves = built
+    bidx = index_mod.build_blocked_index(idx, block_size=32, node_pad=16)
+    q = jnp.asarray(xs[:8])
+    _, want = index_mod.query_topk(idx, q, 5)
+    _, got = index_mod.blocked_query_topk(bidx, q, 5)
+    # same top-5 sets (ordering may differ on near-ties)
+    for b in range(8):
+        assert set(np.asarray(got)[b]) == set(np.asarray(want)[b])
