@@ -183,11 +183,9 @@ struct HnswIndex {
     }
   }
 
-  void add(const float* x, int64_t id) {
-    int level = random_level();
+  void add(const float* x, int64_t id, int level) {
     {
       std::lock_guard<std::mutex> g(mtx);
-      ensure_levels(std::max(level, std::max(max_level, 0)), size());
       if (entry < 0) {
         entry = id;
         max_level = level;
@@ -339,7 +337,27 @@ void ann_hnsw_add(void* handle, const float* xs, int64_t n) {
         for (int d = 0; d < idx->dim; ++d) dst[d] /= nm;
     }
   }
-  for (int64_t i = 0; i < n; ++i) idx->add(idx->vec(start + i), start + i);
+  // Pre-draw levels and pre-size every adjacency vector (no reallocation
+  // during the concurrent phase), seed the graph sequentially, then insert
+  // in parallel: searches run lock-free against the evolving graph; link
+  // mutations take the index mutex — hnswlib-style concurrent build with
+  // coarser locking.
+  std::vector<int> new_levels(n);
+  int top = std::max(idx->max_level, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    new_levels[i] = idx->random_level();
+    idx->levels[start + i] = new_levels[i];
+    top = std::max(top, new_levels[i]);
+  }
+  idx->ensure_levels(top, start + n);
+  int64_t seed_n = std::min<int64_t>(n, idx->entry < 0 ? 128 : 0);
+  for (int64_t i = 0; i < seed_n; ++i)
+    idx->add(idx->vec(start + i), start + i, new_levels[i]);
+  int threads = std::max(1u, std::thread::hardware_concurrency());
+  parallel_for(n - seed_n, threads, [&](int64_t j) {
+    int64_t i = start + seed_n + j;
+    idx->add(idx->vec(i), i, new_levels[seed_n + j]);
+  });
 }
 
 void ann_hnsw_search(void* handle, const float* queries, int64_t nq, int k,

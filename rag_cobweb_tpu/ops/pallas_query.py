@@ -1,0 +1,118 @@
+"""Pallas TPU kernel for the blocked Cobweb query.
+
+Fuses, per sentence block: the two node log-prob GEMMs, the dense local
+path-weight matmul, and an iterative top-k extraction — all in VMEM.  The
+(B, S) score matrix never touches HBM (the XLA path writes it out and reads
+it back for ``lax.top_k``: 2 * B * S * 4 bytes of traffic, ~2 GB per
+256-query batch at one million sentences).  The kernel streams the per-block
+index arrays (Pallas double-buffers the grid automatically) and emits only
+(NB, B, K) candidates, merged by one tiny ``lax.top_k`` afterwards.
+
+Falls back to the pure-XLA path (core/index.blocked_query_topk) when Pallas
+is unavailable (CPU tests run interpret=True).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rag_cobweb_tpu.core.index import BlockedIndex
+
+NEG = -3e38  # python literal: jnp constants can't be captured by kernels
+
+
+def _kernel(q_ref, q2_ref, ivt_ref, movt_ref, const_ref, w_ref, valid_ref,
+            out_s_ref, out_t_ref, *, k: int):
+    """One sentence block: scores = ((q @ movt^T) - 0.5 (q^2 @ ivt^T) + c) @ W,
+    then k rounds of max-extraction."""
+    q = q_ref[:]                       # (B, D)
+    q2 = q2_ref[:]
+    movt = movt_ref[0]                 # (M, D)
+    ivt = ivt_ref[0]
+    const = const_ref[0]               # (1, M) laid out 2D for TPU
+    w = w_ref[0]                       # (M, TS)
+    valid = valid_ref[0]               # (1, TS)
+
+    dn = (((1,), (1,)), ((), ()))      # contract D with D
+    hi = jax.lax.Precision.HIGHEST      # keep f32 on the MXU (default bf16
+    #                                     shifts scores enough to flip top-k)
+    nlp = jax.lax.dot_general(q, movt, dn, precision=hi,
+                              preferred_element_type=jnp.float32)
+    nlp = nlp - 0.5 * jax.lax.dot_general(
+        q2, ivt, dn, precision=hi, preferred_element_type=jnp.float32
+    )
+    nlp = nlp + const                   # (B, M)
+
+    scores = jnp.dot(nlp, w, precision=hi,
+                     preferred_element_type=jnp.float32)  # (B, TS)
+    scores = jnp.where(valid > 0, scores, NEG)
+
+    B, TS = scores.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, TS), 1)
+    for i in range(k):                  # k is small and static
+        m = jnp.max(scores, axis=1)
+        a = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        out_s_ref[0, :, i] = m
+        out_t_ref[0, :, i] = a
+        scores = jnp.where(lane == a[:, None], NEG, scores)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def pallas_blocked_topk(bidx: BlockedIndex, queries: jnp.ndarray, k: int,
+                        interpret: bool = False):
+    """(B, D) queries -> (scores (B, k), sentence ids (B, k))."""
+    NB, M, D = bidx.ivt_b.shape
+    TS = bidx.W.shape[2]
+    B = queries.shape[0]
+    kk = min(k, TS)
+
+    q2 = jnp.square(queries)
+    const2d = bidx.const_b[:, None, :]            # (NB, 1, M)
+    valid2d = bidx.valid[:, None, :].astype(jnp.float32)  # (NB, 1, TS)
+
+    out_s, out_t = pl.pallas_call(
+        functools.partial(_kernel, k=kk),
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, D), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, TS), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TS), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, kk), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, kk), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, B, kk), jnp.float32),
+            jax.ShapeDtypeStruct((NB, B, kk), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, q2, bidx.ivt_b, bidx.movt_b, const2d, bidx.W, valid2d)
+
+    # merge the per-block candidates: (B, NB*kk) -> top-k
+    cand_s = jnp.transpose(out_s, (1, 0, 2)).reshape(B, NB * kk)
+    cand_t = jnp.transpose(out_t, (1, 0, 2)).reshape(B, NB * kk)
+    block_of = jnp.repeat(jnp.arange(NB, dtype=jnp.int32), kk)[None, :]
+    top, pos = jax.lax.top_k(cand_s, min(k, NB * kk))
+    slot = jnp.take_along_axis(cand_t, pos, axis=1)
+    blk = jnp.take_along_axis(jnp.broadcast_to(block_of, cand_t.shape),
+                              pos, axis=1)
+    sids = bidx.sid_of_slot[blk, slot]
+    return top, sids

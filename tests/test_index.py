@@ -148,3 +148,19 @@ def test_blocked_query_topk_agrees(built):
     # same top-5 sets (ordering may differ on near-ties)
     for b in range(8):
         assert set(np.asarray(got)[b]) == set(np.asarray(want)[b])
+
+
+def test_pallas_blocked_topk_interpret_matches(built):
+    """The Pallas fused query kernel (interpret mode on CPU) must agree with
+    the XLA blocked path."""
+    from rag_cobweb_tpu.ops.pallas_query import pallas_blocked_topk
+
+    tree, idx, xs, leaves = built
+    bidx = index_mod.build_blocked_index(idx, block_size=32, node_pad=16)
+    q = jnp.asarray(xs[:4])
+    want_s, want_ids = index_mod.blocked_query_topk(bidx, q, 5)
+    got_s, got_ids = pallas_blocked_topk(bidx, q, 5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-4, atol=1e-4)
+    for b in range(4):
+        assert set(np.asarray(got_ids)[b]) == set(np.asarray(want_ids)[b])
