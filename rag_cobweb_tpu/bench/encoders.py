@@ -171,6 +171,51 @@ def make_sentence_transformer_encoder(model_name: str,
     return encode
 
 
+def make_dpr_encoders(question_model: str, ctx_model: str,
+                      max_length: int = 512, batch_size: int = 32,
+                      device: str = "cpu"):
+    """DPR dual-encoder pair: separate query and passage encoders
+    (reference benchmark_utils.py:349-406 — pooled output of
+    DPRQuestionEncoder / DPRContextEncoder).  Returns
+    (encode_queries, encode_passages)."""
+    import torch
+    from transformers import (
+        DPRContextEncoder, DPRContextEncoderTokenizer,
+        DPRQuestionEncoder, DPRQuestionEncoderTokenizer,
+    )
+
+    q_tok = DPRQuestionEncoderTokenizer.from_pretrained(question_model)
+    q_enc = DPRQuestionEncoder.from_pretrained(question_model).to(device).eval()
+    c_tok = DPRContextEncoderTokenizer.from_pretrained(ctx_model)
+    c_enc = DPRContextEncoder.from_pretrained(ctx_model).to(device).eval()
+
+    @torch.no_grad()
+    def _run(tok, enc, sentences):
+        outs = []
+        for s in range(0, len(sentences), batch_size):
+            batch = tok(list(sentences[s:s + batch_size]), padding=True,
+                        truncation=True, max_length=max_length,
+                        return_tensors="pt").to(device)
+            outs.append(enc(**batch).pooler_output.cpu().numpy())
+        return np.concatenate(outs).astype(np.float32)
+
+    return (lambda xs: _run(q_tok, q_enc, xs),
+            lambda xs: _run(c_tok, c_enc, xs))
+
+
+def encode_corpus_to_npy(corpus, encode_func: Callable, output_path: str,
+                         batch_size: int = 100) -> np.ndarray:
+    """Encode a corpus and persist as .npy (reference
+    utils/datasets.generate_and_save_convo_embeddings :84-95)."""
+    embs = []
+    for s in range(0, len(corpus), batch_size):
+        embs.append(np.asarray(encode_func(corpus[s:s + batch_size])))
+    out = np.concatenate(embs).astype(np.float32)
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    np.save(output_path, out)
+    return out
+
+
 def make_encoder(model_name: str, **kw) -> Callable:
     """Best-available encoder for a model name (reference setup flow)."""
     family = infer_model_type(model_name)

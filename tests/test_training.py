@@ -115,3 +115,37 @@ def test_query_trainer_save_load(corpus_db, tmp_path):
     tr2.load_params(p)
     q = docs[:4]
     np.testing.assert_allclose(tr.project(q), tr2.project(q), rtol=1e-5)
+
+
+def test_vicreg_decorrelates():
+    from rag_cobweb_tpu.training.vicreg import VICRegWhitener
+    from rag_cobweb_tpu.training.factorvae import (
+        latent_correlation_diagnostics,
+    )
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(12, 12))
+    X = (rng.normal(size=(1500, 12)) @ A.T).astype(np.float32)
+    w = VICRegWhitener(in_dim=12, out_dim=8, hidden=64, lr=1e-3, seed=0)
+    before = latent_correlation_diagnostics(w.transform(X))
+    hist = w.fit(X, epochs=20, batch_size=128)
+    after = latent_correlation_diagnostics(w.transform(X))
+    assert hist[-1]["covariance"] < hist[0]["covariance"]
+    assert after["mean_abs_offdiag"] < before["mean_abs_offdiag"]
+    # output variance near the gamma=1 target
+    std = w.transform(X).std(0)
+    assert (std > 0.3).all()
+
+
+def test_vicreg_save_load(tmp_path):
+    from rag_cobweb_tpu.training.vicreg import VICRegWhitener
+
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(300, 10)).astype(np.float32)
+    w = VICRegWhitener(in_dim=10, out_dim=6, hidden=32, seed=0)
+    w.fit(X, epochs=1, batch_size=64)
+    p = str(tmp_path / "vicreg.pkl")
+    w.save(p)
+    w2 = VICRegWhitener.load(p)
+    np.testing.assert_allclose(w.transform(X[:4]), w2.transform(X[:4]),
+                               rtol=1e-5)
