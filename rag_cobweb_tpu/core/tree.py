@@ -177,87 +177,207 @@ def _is_exact_match(st: TreeState, idx, x) -> jnp.ndarray:
 # the descent loop (reference CobwebTorchTree.cobweb :143-233)
 # ---------------------------------------------------------------------------
 
-class _LoopCarry(NamedTuple):
-    st: TreeState
-    current: jnp.ndarray   # () i32
-    done: jnp.ndarray      # () bool
-    leaf: jnp.ndarray      # () i32
-    key: jax.Array
-    steps: jnp.ndarray     # () i32 safety counter
+class Delta(NamedTuple):
+    """One descent step's effects as a small fixed-size descriptor.
+
+    Each branch of the descent (absorb / fringe / best / new / merge /
+    split) writes at most 3 node-stat rows, 2 children rows, F+3 parent
+    pointers, and touches at most 2 fresh slots.  Encoding the step this
+    way means (a) one batched scatter pass applies everything, and (b)
+    under ``vmap`` the ``lax.switch`` selects between tiny descriptors
+    instead of whole-state copies — which is what makes the K-way
+    vmapped forest (parallel/vforest.py) efficient.
+    Unused entries carry index -1 and are dropped by OOB-routing scatters.
+    """
+
+    stat_idx: jnp.ndarray    # (3,) i32
+    stat_count: jnp.ndarray  # (3,) f32
+    stat_mean: jnp.ndarray   # (3, D) f32
+    stat_m2: jnp.ndarray     # (3, D) f32
+    crow_idx: jnp.ndarray    # (3,) i32 children-row writes
+    crow_vals: jnp.ndarray   # (3, F) i32
+    crow_n: jnp.ndarray      # (3,) i32
+    par_idx: jnp.ndarray     # (F+3,) i32
+    par_val: jnp.ndarray     # (F+3,) i32
+    root: jnp.ndarray        # () i32, -1 = unchanged
+    free_node: jnp.ndarray   # () i32, -1 = none
+    slots_used: jnp.ndarray  # () i32 in {0, 1, 2}
+    slots_from_free: jnp.ndarray  # () i32 — how many used slots popped the
+    #                               free stack (fixed at decision time so the
+    #                               deferred replay reproduces allocation)
+    next_current: jnp.ndarray  # () i32
+    done: jnp.ndarray        # () bool
+    leaf: jnp.ndarray        # () i32
 
 
-def _leaf_branch(c: _LoopCarry, x, cfg: TreeConfig) -> _LoopCarry:
-    """current has no children: exact-match/empty absorb, else fringe split
-    (reference :184-204)."""
-    st, cur = c.st, c.current
-    absorb = _is_exact_match(st, cur, x) | (st.counts[cur] == 0.0)
+def _empty_delta(cur, dim: int, fanout: int) -> Delta:
+    return Delta(
+        stat_idx=jnp.full((3,), NULL, jnp.int32),
+        stat_count=jnp.zeros((3,), jnp.float32),
+        stat_mean=jnp.zeros((3, dim), jnp.float32),
+        stat_m2=jnp.zeros((3, dim), jnp.float32),
+        crow_idx=jnp.full((3,), NULL, jnp.int32),
+        crow_vals=jnp.full((3, fanout), NULL, jnp.int32),
+        crow_n=jnp.zeros((3,), jnp.int32),
+        par_idx=jnp.full((fanout + 3,), NULL, jnp.int32),
+        par_val=jnp.full((fanout + 3,), NULL, jnp.int32),
+        root=NULL,
+        free_node=NULL,
+        slots_used=jnp.zeros((), jnp.int32),
+        slots_from_free=jnp.zeros((), jnp.int32),
+        next_current=cur,
+        done=jnp.bool_(False),
+        leaf=NULL,
+    )
 
-    def do_absorb(st):
-        return _increment(st, cur, x), cur
 
-    def do_fringe(st):
-        # new parent P copies current's stats and takes its place; current and
-        # a fresh leaf seeded by x become P's children; P absorbs x.
-        st, p_new = _alloc(st)
-        st = _set_stats(st, p_new, _node_stats(st, cur))
-        old_parent = st.parent[cur]
+class _View(NamedTuple):
+    """Carried truth about the current node during a descent: everything a
+    decision reads that this descent may already have modified (the big
+    state is only updated after the descent in the deferred path)."""
 
-        # splice: replace `cur` with `p_new` in old_parent's child list
-        # (or reroot when cur was the root).
-        def splice_parent(st):
-            slots = st.children[old_parent]
-            slots = jnp.where(slots == cur, p_new, slots)
-            return st._replace(children=st.children.at[old_parent].set(slots))
+    cur: jnp.ndarray        # () i32
+    stats: GaussStats       # of cur
+    row: jnp.ndarray        # (F,) children of cur
+    n: jnp.ndarray          # () i32
+    parent: jnp.ndarray     # () i32
+    prev_row: jnp.ndarray   # (F,) children row of the node we came from
+    prev_n: jnp.ndarray     # () i32
 
-        def reroot(st):
-            return st._replace(root=p_new)
 
-        st = jax.lax.cond(old_parent >= 0, splice_parent, reroot, st)
-        st = st._replace(parent=st.parent.at[p_new].set(old_parent))
-        st = st._replace(parent=st.parent.at[cur].set(p_new))
-        st = _increment(st, p_new, x)
+def _view_from_state(st: TreeState, cur) -> _View:
+    return _View(
+        cur=cur, stats=_node_stats(st, cur), row=st.children[cur],
+        n=st.n_children[cur], parent=st.parent[cur],
+        prev_row=jnp.full((st.fanout,), NULL, jnp.int32),
+        prev_n=jnp.zeros((), jnp.int32),
+    )
 
-        st, leaf = _alloc(st)
-        st = _set_stats(
-            st, leaf, GaussStats(jnp.float32(1.0), x, jnp.zeros_like(x))
+
+def _peek_slots_virtual(free_stack, free_top, n_alloc):
+    """Reserve up to two fresh slots against *virtual* counters (the state
+    arrays are not consulted for the counters — deferred descents carry
+    them)."""
+    s0 = jnp.where(free_top >= 1, free_stack[jnp.maximum(free_top - 1, 0)],
+                   n_alloc)
+    s1 = jnp.where(
+        free_top >= 2, free_stack[jnp.maximum(free_top - 2, 0)],
+        jnp.where(free_top >= 1, n_alloc, n_alloc + 1),
+    )
+    return jnp.stack([s0, s1])
+
+
+def _peek_slots(st: TreeState):
+    """Reserve up to two fresh node slots without committing: slot i comes
+    from the free stack when deep enough, else from the bump counter.  The
+    deciders record how many were actually used; _apply_delta commits."""
+    n_free = st.free_top
+    s0 = jnp.where(n_free >= 1, st.free_stack[jnp.maximum(n_free - 1, 0)],
+                   st.n_alloc)
+    from_free1 = n_free >= 2
+    s1 = jnp.where(
+        from_free1, st.free_stack[jnp.maximum(n_free - 2, 0)],
+        # if s0 came from the stack, s1 is the first bump; else second bump
+        jnp.where(n_free >= 1, st.n_alloc, st.n_alloc + 1),
+    )
+    return jnp.stack([s0, s1])
+
+
+class _NextView(NamedTuple):
+    """Where the descent goes next.  ``from_state`` means the loop should
+    gather the next node's truth from the state arrays (safe: the next node
+    has not been modified by this descent); otherwise the fields are the
+    carried truth (merge's virtual node M, or split's rewritten current)."""
+
+    from_state: jnp.ndarray  # () bool
+    view: _View
+
+
+def _decide_leaf(view: _View, x, slots, cfg: TreeConfig,
+                 fanout: int):
+    """Leaf: exact-match/empty absorb, else fringe split (reference
+    CobwebTorchTree.py:184-204)."""
+    F, dim = fanout, x.shape[0]
+    cur = view.cur
+    count = view.stats.count
+    safe_count = jnp.maximum(count, 1.0)
+    std = jnp.sqrt(view.stats.m2 / safe_count)
+    exact = (count > 0) \
+        & jnp.all(jnp.isclose(std, 0.0, rtol=1e-5, atol=1e-8)) \
+        & jnp.all(jnp.isclose(x, view.stats.mean, rtol=1e-5, atol=1e-8))
+    absorb = exact | (count == 0.0)
+    d = _empty_delta(cur, dim, F)
+
+    inc = welford_insert(view.stats, x)      # absorb == fringe p_new math
+
+    p_new, leaf = slots[0], slots[1]
+    old_parent = view.parent
+    spliced = jnp.where(view.prev_row == cur, p_new, view.prev_row)
+    p_row = jnp.full((F,), NULL, jnp.int32).at[0].set(cur).at[1].set(leaf)
+
+    def absorb_delta(_):
+        return d._replace(
+            stat_idx=d.stat_idx.at[0].set(cur),
+            stat_count=d.stat_count.at[0].set(inc.count),
+            stat_mean=d.stat_mean.at[0].set(inc.mean),
+            stat_m2=d.stat_m2.at[0].set(inc.m2),
+            done=jnp.bool_(True), leaf=cur,
         )
-        st = st._replace(
-            parent=st.parent.at[leaf].set(p_new),
-            children=st.children.at[p_new, 0].set(cur),
+
+    def fringe_delta(_):
+        has_parent = old_parent >= 0
+        return d._replace(
+            stat_idx=jnp.stack([p_new, leaf, NULL]),
+            stat_count=jnp.stack([inc.count, jnp.float32(1.0), 0.0]),
+            stat_mean=jnp.stack([inc.mean, x, jnp.zeros_like(x)]),
+            stat_m2=jnp.stack([inc.m2, jnp.zeros_like(x),
+                               jnp.zeros_like(x)]),
+            crow_idx=jnp.stack([p_new,
+                                jnp.where(has_parent, old_parent, NULL),
+                                leaf]),
+            crow_vals=jnp.stack([p_row, spliced,
+                                 jnp.full((F,), NULL, jnp.int32)]),
+            crow_n=jnp.stack([jnp.int32(2), view.prev_n, jnp.int32(0)]),
+            par_idx=d.par_idx.at[0].set(p_new).at[1].set(cur)
+                             .at[2].set(leaf),
+            par_val=d.par_val.at[0].set(old_parent).at[1].set(p_new)
+                             .at[2].set(p_new),
+            root=jnp.where(has_parent, NULL, p_new),
+            slots_used=jnp.int32(2),
+            done=jnp.bool_(True), leaf=leaf,
         )
-        st = st._replace(
-            children=st.children.at[p_new, 1].set(leaf),
-            n_children=st.n_children.at[p_new].set(2),
-        )
-        return st, leaf
 
-    st, leaf = jax.lax.cond(absorb, do_absorb, do_fringe, st)
-    return c._replace(st=st, done=jnp.bool_(True), leaf=leaf)
+    delta = jax.lax.cond(absorb, absorb_delta, fringe_delta, None)
+    nv = _NextView(from_state=jnp.bool_(False), view=view)  # done: unused
+    return delta, nv
 
 
-def _internal_branch(c: _LoopCarry, x, cfg: TreeConfig) -> _LoopCarry:
-    """Score the four ops on the current internal node and apply the winner
-    (reference :207-231)."""
-    st, cur = c.st, c.current
-    F = st.fanout
-
-    key = jax.random.fold_in(c.key, c.steps)
+def _decide_internal(st: TreeState, view: _View, x, slots, key,
+                     cfg: TreeConfig):
+    """Internal node: score {best, new, merge, split} and describe the
+    winner's effects (reference CobwebTorchTree.py:207-231).  Children and
+    grandchildren stats come from the state arrays (nodes below the current
+    one are untouched by this descent); the current node's truth comes from
+    the carried view."""
+    F, dim = st.fanout, st.means.shape[1]
+    cur = view.cur
     k_two, k_op = jax.random.split(key)
 
-    child_idx = st.children[cur]              # (F,)
+    child_idx = view.row                      # (F,)
     mask = child_idx >= 0
     children = _gather_stats(st, child_idx)
-    parent = _node_stats(st, cur)
+    parent = view.stats
 
     tb = opscore.two_best_children(x, parent, children, mask, cfg, k_two)
     b1_node = child_idx[tb.best1]
-    b2_node = jnp.where(tb.best2 >= 0, child_idx[jnp.maximum(tb.best2, 0)], NULL)
+    b2_node = jnp.where(tb.best2 >= 0,
+                        child_idx[jnp.maximum(tb.best2, 0)], NULL)
 
     gc_idx = st.children[b1_node]             # (F,)
     gc_mask = gc_idx >= 0
     grandchildren = _gather_stats(st, gc_idx)
 
-    nc = st.n_children[cur]
+    nc = view.n
     fanout_full = nc >= F
     split_fits = (nc - 1 + st.n_children[b1_node]) <= F
 
@@ -269,113 +389,247 @@ def _internal_branch(c: _LoopCarry, x, cfg: TreeConfig) -> _LoopCarry:
             k_op, fanout_full, split_fits,
         )
 
-    def do_best(st):
-        st = _increment(st, cur, x)
-        return st, b1_node, jnp.bool_(False), NULL
+    d0 = _empty_delta(cur, dim, F)
+    inc = welford_insert(parent, x)
+    new_node = slots[0]
 
-    def do_new(st):
-        st = _increment(st, cur, x)
-        st, leaf = _alloc(st)
-        st = _set_stats(
-            st, leaf, GaussStats(jnp.float32(1.0), x, jnp.zeros_like(x))
+    def with_cur_inc(d: Delta) -> Delta:
+        return d._replace(
+            stat_idx=d.stat_idx.at[0].set(cur),
+            stat_count=d.stat_count.at[0].set(inc.count),
+            stat_mean=d.stat_mean.at[0].set(inc.mean),
+            stat_m2=d.stat_m2.at[0].set(inc.m2),
         )
-        st = st._replace(
-            parent=st.parent.at[leaf].set(cur),
-            children=st.children.at[cur, nc].set(leaf),
-            n_children=st.n_children.at[cur].set(nc + 1),
-        )
-        return st, leaf, jnp.bool_(True), leaf
 
-    def do_merge(st):
-        # new node M absorbs best1+best2 stats (Chan merge), becomes their
-        # parent, replaces them in cur's child list; descent continues at M
-        # (reference CobwebTorchNode.merge :517-548).
-        st = _increment(st, cur, x)
-        st, m = _alloc(st)
-        # M's stats are the pure Chan merge of best1+best2 — merge() does NOT
-        # absorb x; the instance reaches M's subtree on the next loop iteration.
-        s = chan_merge(_node_stats(st, b1_node), _node_stats(st, b2_node))
-        st = _set_stats(st, m, s)
-        st = st._replace(
-            parent=st.parent.at[m].set(cur),
-            children=st.children.at[m, 0].set(b1_node),
+    dummy_nv = _NextView(jnp.bool_(True), view)
+
+    def do_best(_):
+        d = with_cur_inc(d0)._replace(next_current=b1_node)
+        nv = _NextView(
+            from_state=jnp.bool_(True),
+            view=view._replace(cur=b1_node, parent=cur,
+                               prev_row=view.row, prev_n=view.n),
         )
-        st = st._replace(
-            children=st.children.at[m, 1].set(b2_node),
-            n_children=st.n_children.at[m].set(2),
+        return d, nv
+
+    def do_new(_):
+        row = view.row.at[nc].set(new_node)
+        d = with_cur_inc(d0)
+        d = d._replace(
+            stat_idx=d.stat_idx.at[1].set(new_node),
+            stat_count=d.stat_count.at[1].set(1.0),
+            stat_mean=d.stat_mean.at[1].set(x),
+            crow_idx=d.crow_idx.at[0].set(cur).at[1].set(new_node),
+            crow_vals=d.crow_vals.at[0].set(row),
+            crow_n=d.crow_n.at[0].set(nc + 1).at[1].set(0),
+            par_idx=d.par_idx.at[0].set(new_node),
+            par_val=d.par_val.at[0].set(cur),
+            slots_used=jnp.int32(1),
+            done=jnp.bool_(True), leaf=new_node, next_current=new_node,
         )
-        st = st._replace(
-            parent=st.parent.at[b1_node].set(m),
+        return d, dummy_nv
+
+    def do_merge(_):
+        m = new_node
+        s = chan_merge(
+            jax.tree.map(lambda a: a[tb.best1], children),
+            jax.tree.map(lambda a: a[jnp.maximum(tb.best2, 0)], children),
         )
-        st = st._replace(parent=st.parent.at[b2_node].set(m))
         keep = mask & (child_idx != b1_node) & (child_idx != b2_node)
-        slots = _compact_children(child_idx, keep)
-        slots = slots.at[nc - 2].set(m)
-        st = st._replace(
-            children=st.children.at[cur].set(slots),
-            n_children=st.n_children.at[cur].set(nc - 1),
+        cur_row = _compact_children(child_idx, keep).at[nc - 2].set(m)
+        m_row = jnp.full((F,), NULL, jnp.int32).at[0].set(b1_node) \
+                                               .at[1].set(b2_node)
+        d = with_cur_inc(d0)
+        d = d._replace(
+            stat_idx=d.stat_idx.at[1].set(m),
+            stat_count=d.stat_count.at[1].set(s.count),
+            stat_mean=d.stat_mean.at[1].set(s.mean),
+            stat_m2=d.stat_m2.at[1].set(s.m2),
+            crow_idx=jnp.stack([cur, m, NULL]),
+            crow_vals=jnp.stack([cur_row, m_row,
+                                 jnp.full((F,), NULL, jnp.int32)]),
+            crow_n=jnp.stack([nc - 1, jnp.int32(2), jnp.int32(0)]),
+            par_idx=d.par_idx.at[0].set(m).at[1].set(b1_node)
+                             .at[2].set(b2_node),
+            par_val=d.par_val.at[0].set(cur).at[1].set(m).at[2].set(m),
+            slots_used=jnp.int32(1),
+            next_current=m,
         )
-        return st, m, jnp.bool_(False), NULL
+        nv = _NextView(
+            from_state=jnp.bool_(False),
+            view=_View(cur=m, stats=s, row=m_row, n=jnp.int32(2),
+                       parent=cur, prev_row=cur_row, prev_n=nc - 1),
+        )
+        return d, nv
 
-    def do_split(st):
-        # promote best1's children into cur, recycle best1, re-loop on cur
-        # (reference CobwebTorchNode.split :593-609) — no increment.
+    def do_split(_):
         keep = mask & (child_idx != b1_node)
-        slots = _compact_children(child_idx, keep)
+        kept = _compact_children(child_idx, keep)
         n_keep = nc - 1
         n_gc = st.n_children[b1_node]
         lane = jnp.arange(F)
-        # append grandchildren after the kept slots
         gc_gathered = gc_idx[jnp.clip(lane - n_keep, 0, F - 1)]
-        new_slots = jnp.where(
-            lane < n_keep, slots,
+        cur_row = jnp.where(
+            lane < n_keep, kept,
             jnp.where(lane < n_keep + n_gc, gc_gathered, NULL),
         )
-        st = st._replace(
-            children=st.children.at[cur].set(new_slots),
-            n_children=st.n_children.at[cur].set(n_keep + n_gc),
+        par_idx = jnp.concatenate(
+            [jnp.where(gc_mask, gc_idx, NULL),
+             jnp.full((3,), NULL, jnp.int32)]
         )
-        # re-parent grandchildren — masked lanes are routed out-of-bounds and
-        # dropped so they can't clobber slot 0 with a stale value (scatter
-        # order for duplicate indices is undefined).
-        cap = st.parent.shape[0]
-        gc_write = jnp.where(gc_mask, gc_idx, cap)
-        st = st._replace(
-            parent=st.parent.at[gc_write].set(cur, mode="drop")
+        par_val = jnp.concatenate(
+            [jnp.full((F,), cur, jnp.int32),
+             jnp.full((3,), NULL, jnp.int32)]
         )
-        st = _free(st, b1_node)
-        return st, cur, jnp.bool_(False), NULL
+        d = d0._replace(   # no stat writes: split does not absorb x
+            crow_idx=d0.crow_idx.at[0].set(cur),
+            crow_vals=d0.crow_vals.at[0].set(cur_row),
+            crow_n=d0.crow_n.at[0].set(n_keep + n_gc),
+            par_idx=par_idx,
+            par_val=par_val,
+            free_node=b1_node,
+            next_current=cur,
+        )
+        nv = _NextView(
+            from_state=jnp.bool_(False),
+            view=view._replace(row=cur_row, n=n_keep + n_gc),
+        )
+        return d, nv
 
-    st, nxt, done, leaf = jax.lax.switch(
-        op, [do_best, do_new, do_merge, do_split], st
+    return jax.lax.switch(op, [do_best, do_new, do_merge, do_split], None)
+
+
+def _apply_delta_data(st: TreeState, d: Delta) -> TreeState:
+    """Commit one step's data writes (stats/rows/parents/root) with OOB-drop
+    scatters; allocation bookkeeping is handled separately."""
+    cap = st.counts.shape[0]
+    sidx = jnp.where(d.stat_idx >= 0, d.stat_idx, cap)
+    st = st._replace(
+        counts=st.counts.at[sidx].set(d.stat_count, mode="drop"),
+        means=st.means.at[sidx].set(d.stat_mean, mode="drop"),
+        m2s=st.m2s.at[sidx].set(d.stat_m2, mode="drop"),
     )
-    return c._replace(st=st, current=nxt, done=done,
-                      leaf=jnp.where(done, leaf, c.leaf))
+    cidx = jnp.where(d.crow_idx >= 0, d.crow_idx, cap)
+    st = st._replace(
+        children=st.children.at[cidx].set(d.crow_vals, mode="drop"),
+        n_children=st.n_children.at[cidx].set(d.crow_n, mode="drop"),
+    )
+    pidx = jnp.where(d.par_idx >= 0, d.par_idx, cap)
+    st = st._replace(parent=st.parent.at[pidx].set(d.par_val, mode="drop"))
+    return st._replace(root=jnp.where(d.root >= 0, d.root, st.root))
+
+
+class _DeferredCarry(NamedTuple):
+    view: _View
+    vfree_top: jnp.ndarray
+    vn_alloc: jnp.ndarray
+    done: jnp.ndarray
+    leaf: jnp.ndarray
+    steps: jnp.ndarray
+    dbuf: Delta                 # leading (max_steps,) axis on every field
+
+
+def _descend_collect(st: TreeState, x: jnp.ndarray, key: jax.Array,
+                     cfg: TreeConfig, max_steps: int = 48):
+    """The read-only half of an insert: run the descent against a frozen
+    state, carrying the current node's truth in a small _View, and record
+    every step's Delta in a fixed buffer.  Safe to ``vmap`` over stacked
+    trees (the state is only read; the loop carry is a few KB).
+    Returns (delta buffer, steps used, leaf idx)."""
+    F, dim = st.fanout, st.means.shape[1]
+
+    def cond(c: _DeferredCarry):
+        return (~c.done) & (c.steps < max_steps)
+
+    def body(c: _DeferredCarry):
+        step_key = jax.random.fold_in(key, c.steps)
+        slots = _peek_slots_virtual(st.free_stack, c.vfree_top, c.vn_alloc)
+        is_leaf = c.view.n == 0
+        d, nv = jax.lax.cond(
+            is_leaf,
+            lambda _: _decide_leaf(c.view, x, slots, cfg, F),
+            lambda _: _decide_internal(st, c.view, x, slots, step_key, cfg),
+            None,
+        )
+        from_free = jnp.minimum(d.slots_used, c.vfree_top)
+        d = d._replace(slots_from_free=from_free)
+        dbuf = jax.tree.map(
+            lambda buf, v: jax.lax.dynamic_update_index_in_dim(
+                buf, v, c.steps, 0),
+            c.dbuf, d,
+        )
+        next_view = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(nv.from_state, (1,) * a.ndim), a, b
+            ) if a.ndim else jnp.where(nv.from_state, a, b),
+            _view_from_state(st, d.next_current)._replace(
+                parent=nv.view.parent, prev_row=nv.view.prev_row,
+                prev_n=nv.view.prev_n,
+            ),
+            nv.view,
+        )
+        return _DeferredCarry(
+            view=next_view,
+            vfree_top=c.vfree_top - from_free,
+            vn_alloc=c.vn_alloc + (d.slots_used - from_free),
+            done=d.done,
+            leaf=jnp.where(d.done, d.leaf, c.leaf),
+            steps=c.steps + 1,
+            dbuf=dbuf,
+        )
+
+    # pad steps must stay NO-OP deltas (all index fields -1): broadcast the
+    # empty delta, never zeros (index 0 would clobber the root on replay)
+    zero_delta = _empty_delta(NULL, dim, F)
+    dbuf0 = jax.tree.map(
+        lambda v: jnp.broadcast_to(v, (max_steps,) + v.shape).copy(),
+        zero_delta,
+    )
+    root_view = _view_from_state(st, st.root)
+    init = _DeferredCarry(
+        view=root_view, vfree_top=st.free_top, vn_alloc=st.n_alloc,
+        done=jnp.bool_(False), leaf=NULL,
+        steps=jnp.zeros((), jnp.int32), dbuf=dbuf0,
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.dbuf, out.steps, out.leaf
+
+
+def _alloc_bookkeeping(st: TreeState, dbuf: Delta, steps) -> TreeState:
+    """Descent-consistent allocation commit: pops consume pre-descent stack
+    entries top-down, in-descent frees land on top afterwards."""
+    max_steps = dbuf.slots_used.shape[0]
+    step_mask = jnp.arange(max_steps) < steps
+    total_from_free = jnp.sum(jnp.where(step_mask, dbuf.slots_from_free, 0))
+    total_bumps = jnp.sum(
+        jnp.where(step_mask, dbuf.slots_used - dbuf.slots_from_free, 0)
+    )
+    frees = jnp.where(step_mask & (dbuf.free_node >= 0), dbuf.free_node,
+                      NULL)
+    is_free = frees >= 0
+    new_top = st.free_top - total_from_free
+    pos = new_top + jnp.cumsum(is_free.astype(jnp.int32)) - 1
+    cap = st.counts.shape[0]
+    return st._replace(
+        free_stack=st.free_stack.at[
+            jnp.where(is_free, pos, cap)
+        ].set(frees, mode="drop"),
+        free_top=new_top + jnp.sum(is_free.astype(jnp.int32)),
+        n_alloc=st.n_alloc + total_bumps,
+    )
 
 
 def _insert_one(st: TreeState, x: jnp.ndarray, key: jax.Array,
-                cfg: TreeConfig, max_steps: int = 256):
-    """One full descent (reference ifit/cobweb).  Returns (state, leaf_idx)."""
+                cfg: TreeConfig, max_steps: int = 48):
+    """One full descent (reference ifit/cobweb): collect deltas against the
+    frozen state, then replay them in order.  Returns (state, leaf_idx)."""
+    dbuf, steps, leaf = _descend_collect(st, x, key, cfg, max_steps)
 
-    def cond(c: _LoopCarry):
-        return (~c.done) & (c.steps < max_steps)
+    def replay(t, st):
+        return _apply_delta_data(st, jax.tree.map(lambda b: b[t], dbuf))
 
-    def body(c: _LoopCarry):
-        is_leaf = c.st.n_children[c.current] == 0
-        c2 = jax.lax.cond(
-            is_leaf,
-            lambda cc: _leaf_branch(cc, x, cfg),
-            lambda cc: _internal_branch(cc, x, cfg),
-            c,
-        )
-        return c2._replace(steps=c2.steps + 1)
-
-    init = _LoopCarry(
-        st=st, current=st.root, done=jnp.bool_(False),
-        leaf=NULL, key=key, steps=jnp.zeros((), jnp.int32),
-    )
-    out = jax.lax.while_loop(cond, body, init)
-    return out.st, out.leaf
+    st = jax.lax.fori_loop(0, steps, replay, st)
+    return _alloc_bookkeeping(st, dbuf, steps), leaf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -55,6 +55,64 @@ class StackedIndex(NamedTuple):
     global_sid: jnp.ndarray      # (K, S) shard-local row -> global id, -1 pad
 
 
+def build_stacked_index(cfg: TreeConfig, host_state: TreeState,
+                        leaf_of_local: list, shard_of: list,
+                        local_sid: list, n_sentences: int) -> StackedIndex:
+    """Per-lane prediction indexes padded to common shapes and stacked on a
+    leading lane axis.  Shared by the mesh forest (CobwebForest) and the
+    single-device vmapped forest (parallel/vforest.py)."""
+    K = host_state.counts.shape[0]
+    per_shard = []
+    for s in range(K):
+        st_s = jax.tree.map(lambda a: a[s], host_state)
+        shard_tree = CobwebTree.__new__(CobwebTree)
+        shard_tree.cfg = cfg
+        shard_tree.state = jax.tree.map(jnp.asarray, st_s)
+        idx = index_mod.build_index(
+            shard_tree, np.asarray(leaf_of_local[s], np.int32)
+        )
+        per_shard.append(idx)
+
+    N = max(i.num_nodes for i in per_shard)
+    S = max(max(i.num_sentences for i in per_shard), 1)
+    Pd = max(i.paths.shape[1] for i in per_shard)
+
+    def pad(a, shape, fill):
+        out = np.full(shape, fill, np.asarray(a).dtype)
+        sl = tuple(slice(0, d) for d in np.asarray(a).shape)
+        out[sl] = np.asarray(a)
+        return out
+
+    inv = np.stack([pad(i.inv_var_T, (cfg.dim, N), 1.0) for i in per_shard])
+    mov = np.stack([pad(i.mu_over_var_T, (cfg.dim, N), 0.0)
+                    for i in per_shard])
+    const = np.stack([pad(i.const, (N,), 0.0) for i in per_shard])
+    paths = np.stack([pad(i.paths, (S, Pd), -1) for i in per_shard])
+    pw = np.stack([pad(i.path_weights, (S, Pd), 0.0) for i in per_shard])
+    valid = np.stack([
+        pad(np.ones((i.num_sentences,), bool), (S,), False)
+        for i in per_shard
+    ])
+    # deepest valid path entry = the sentence's leaf (compact idx)
+    leaf_node = np.stack([
+        pad(np.asarray(i.paths)[
+            np.arange(i.num_sentences),
+            (np.asarray(i.paths) >= 0).sum(1) - 1,
+        ] if i.num_sentences else np.zeros((0,), np.int32), (S,), 0)
+        for i in per_shard
+    ])
+    gsid = np.full((K, S), -1, np.int64)
+    for g in range(n_sentences):
+        gsid[shard_of[g], local_sid[g]] = g
+
+    return StackedIndex(
+        inv_var_T=jnp.asarray(inv), mu_over_var_T=jnp.asarray(mov),
+        const=jnp.asarray(const), paths=jnp.asarray(paths),
+        path_weights=jnp.asarray(pw), sentence_valid=jnp.asarray(valid),
+        leaf_node=jnp.asarray(leaf_node), global_sid=jnp.asarray(gsid),
+    )
+
+
 class CobwebForest:
     """A forest of Cobweb trees sharded across a device mesh."""
 
@@ -144,57 +202,9 @@ class CobwebForest:
         on the sharded axis (host-side structure derivation, device stats)."""
         if self._stacked_index is not None:
             return self._stacked_index
-        K = self.n_shards
-        host_state = jax.device_get(self.state)
-        per_shard = []
-        for s in range(K):
-            st_s = jax.tree.map(lambda a: a[s], host_state)
-            shard_tree = CobwebTree.__new__(CobwebTree)
-            shard_tree.cfg = self.cfg
-            shard_tree.state = jax.tree.map(jnp.asarray, st_s)
-            idx = index_mod.build_index(
-                shard_tree, np.asarray(self._leaf_of_local[s], np.int32)
-            )
-            per_shard.append(idx)
-
-        N = max(i.num_nodes for i in per_shard)
-        S = max(max(i.num_sentences for i in per_shard), 1)
-        Pd = max(i.paths.shape[1] for i in per_shard)
-
-        def pad(a, shape, fill):
-            out = np.full(shape, fill, np.asarray(a).dtype)
-            sl = tuple(slice(0, d) for d in np.asarray(a).shape)
-            out[sl] = np.asarray(a)
-            return out
-
-        inv = np.stack([pad(i.inv_var_T, (self.cfg.dim, N), 1.0)
-                        for i in per_shard])
-        mov = np.stack([pad(i.mu_over_var_T, (self.cfg.dim, N), 0.0)
-                        for i in per_shard])
-        const = np.stack([pad(i.const, (N,), 0.0) for i in per_shard])
-        paths = np.stack([pad(i.paths, (S, Pd), -1) for i in per_shard])
-        pw = np.stack([pad(i.path_weights, (S, Pd), 0.0) for i in per_shard])
-        valid = np.stack([
-            pad(np.ones((i.num_sentences,), bool), (S,), False)
-            for i in per_shard
-        ])
-        # deepest valid path entry = the sentence's leaf (compact idx)
-        leaf_node = np.stack([
-            pad(np.asarray(i.paths)[
-                np.arange(i.num_sentences),
-                (np.asarray(i.paths) >= 0).sum(1) - 1,
-            ] if i.num_sentences else np.zeros((0,), np.int32), (S,), 0)
-            for i in per_shard
-        ])
-        gsid = np.full((K, S), -1, np.int64)
-        for g in range(self.n_sentences):
-            gsid[self.shard_of[g], self.local_sid[g]] = g
-
-        stacked = StackedIndex(
-            inv_var_T=jnp.asarray(inv), mu_over_var_T=jnp.asarray(mov),
-            const=jnp.asarray(const), paths=jnp.asarray(paths),
-            path_weights=jnp.asarray(pw), sentence_valid=jnp.asarray(valid),
-            leaf_node=jnp.asarray(leaf_node), global_sid=jnp.asarray(gsid),
+        stacked = build_stacked_index(
+            self.cfg, jax.device_get(self.state), self._leaf_of_local,
+            self.shard_of, self.local_sid, self.n_sentences,
         )
         self._stacked_index = jax.device_put(
             stacked, self._sharding(stacked)

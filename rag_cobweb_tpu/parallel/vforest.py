@@ -1,0 +1,219 @@
+"""Single-device vmapped forest: K Cobweb subtrees inserted in parallel.
+
+The Cobweb descent is inherently sequential per tree (every decision depends
+on the stats the previous instance updated), so single-tree insert
+throughput is latency-bound.  This module multiplies throughput ~K-fold on
+ONE chip by maintaining K independent subtrees (stacked TreeState, leading
+axis K) and inserting one instance per subtree per step via ``jax.vmap``
+over the delta-form descent (core/tree.py Delta): under vmap the branchy
+step becomes selects over tiny delta descriptors, not whole-state copies.
+
+Queries reuse the forest merge (parallel/forest.py): per-lane Cobweb path
+ranking, cross-lane candidates merged by leaf log-probability — all in one
+device computation (no collectives needed on a single chip).
+
+Recall parity with the single tree is validated in tests/test_vforest.py;
+the forest-of-subtrees is also exactly the per-device layout the mesh
+forest shards, so a VForest lane count composes with mesh sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_cobweb_tpu.core.config import TreeConfig
+from rag_cobweb_tpu.core import index as index_mod
+from rag_cobweb_tpu.core import tree as tree_mod
+from rag_cobweb_tpu.ops.gaussian import batched_node_log_probs
+from rag_cobweb_tpu.parallel.forest import StackedIndex, build_stacked_index
+
+
+def _vinsert_round(st, xs_r, keys_r, cfg: TreeConfig):
+    """One vmapped round: every lane runs the read-only descent against the
+    frozen stacked state (vmap-cheap: the big arrays are only read), then
+    the recorded deltas replay with a SCALAR trip count (max steps over
+    lanes) so the big state never gets per-lane done-masking selects."""
+    dbufs, steps, leaves = jax.vmap(
+        lambda s, x, k: tree_mod._descend_collect(s, x, k, cfg)
+    )(st, xs_r, keys_r)
+
+    def replay(t, st):
+        d_t = jax.tree.map(lambda b: b[:, t], dbufs)   # (K, ...) step t
+        return jax.vmap(tree_mod._apply_delta_data)(st, d_t)
+
+    st = jax.lax.fori_loop(0, jnp.max(steps), replay, st)
+    st = jax.vmap(tree_mod._alloc_bookkeeping)(st, dbufs, steps)
+    return st, leaves
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def vinsert_rounds(st, xs: jnp.ndarray, keys: jax.Array, cfg: TreeConfig):
+    """Insert xs[:, r] into subtree lane k for every full round r.
+
+    st: stacked TreeState (leading axis K); xs: (K, R, D); keys: (K, R, 2).
+    Every lane inserts exactly R instances (callers arrange full rounds).
+    Returns (state, leaf idx (K, R)).
+    """
+    K, R, D = xs.shape
+
+    def body(r, carry):
+        st, leaves = carry
+        st, leaf = _vinsert_round(st, xs[:, r], keys[:, r], cfg)
+        return st, leaves.at[:, r].set(leaf)
+
+    leaves0 = jnp.full((K, R), -1, jnp.int32)
+    return jax.lax.fori_loop(0, R, body, (st, leaves0))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def vinsert_masked_round(st, xs: jnp.ndarray, keys: jax.Array,
+                         mask: jnp.ndarray, cfg: TreeConfig):
+    """One round where only ``mask``ed lanes insert (the ragged remainder):
+    unmasked lanes' deltas are suppressed before replay, so no full-state
+    select is needed."""
+    dbufs, steps, leaves = jax.vmap(
+        lambda s, x, k: tree_mod._descend_collect(s, x, k, cfg)
+    )(st, xs, keys)
+    steps = jnp.where(mask, steps, 0)   # masked-out lanes replay nothing
+
+    def replay(t, st):
+        d_t = jax.tree.map(lambda b: b[:, t], dbufs)
+        # neutralize finished/masked lanes' deltas via their index fields
+        live = t < steps
+
+        def squash(v, name):
+            if name in ("stat_idx", "crow_idx", "par_idx", "root",
+                        "free_node"):
+                return jnp.where(live.reshape((-1,) + (1,) * (v.ndim - 1)),
+                                 v, -1)
+            return v
+
+        d_t = tree_mod.Delta(**{
+            k: squash(v, k) for k, v in d_t._asdict().items()
+        })
+        return jax.vmap(tree_mod._apply_delta_data)(st, d_t)
+
+    st = jax.lax.fori_loop(0, jnp.max(steps), replay, st)
+    st = jax.vmap(tree_mod._alloc_bookkeeping)(st, dbufs, steps)
+    return st, jnp.where(mask, leaves, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _vforest_query(idx: StackedIndex, q: jnp.ndarray, k: int):
+    """Per-lane path-ranked top-k, merged across lanes by leaf log-prob
+    (same calibration as the mesh forest, parallel/forest.py)."""
+
+    def per_lane(inv, mov, const, paths, pw, valid, leaf_node, gsid):
+        nlp = batched_node_log_probs(q, inv, mov, const)       # (B, N)
+        scores = index_mod.path_scores_from_nlp(paths, pw, nlp)
+        scores = jnp.where(valid[None, :], scores, -jnp.inf)
+        kk = min(k, scores.shape[1])
+        _, rows = jax.lax.top_k(scores, kk)                    # (B, kk)
+        gids = gsid[rows]
+        leaf_lp = jnp.take_along_axis(
+            nlp, leaf_node[rows].reshape(q.shape[0], kk), axis=1
+        )
+        return jnp.where(gids >= 0, leaf_lp, -jnp.inf), gids
+
+    lp, gids = jax.vmap(per_lane)(
+        idx.inv_var_T, idx.mu_over_var_T, idx.const, idx.paths,
+        idx.path_weights, idx.sentence_valid, idx.leaf_node, idx.global_sid,
+    )                                                           # (K, B, kk)
+    K, B, kk = lp.shape
+    merged = jnp.transpose(lp, (1, 0, 2)).reshape(B, K * kk)
+    merged_ids = jnp.transpose(gids, (1, 0, 2)).reshape(B, K * kk)
+    top, pos = jax.lax.top_k(merged, min(k, K * kk))
+    return top, jnp.take_along_axis(merged_ids, pos, axis=1)
+
+
+class VForest:
+    """K-subtree forest on one device (same API surface as CobwebForest)."""
+
+    def __init__(self, cfg: TreeConfig, n_subtrees: int = 16,
+                 capacity_per_tree: int = 4096, seed: int = 0):
+        self.cfg = cfg
+        self.K = n_subtrees
+        states = [tree_mod.init_state(capacity_per_tree, cfg.dim,
+                                      cfg.max_fanout)
+                  for _ in range(n_subtrees)]
+        self.state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        self._key = jax.random.PRNGKey(seed)
+        self.n_sentences = 0
+        self.shard_of: list[int] = []
+        self.local_sid: list[int] = []
+        self._leaf_of_local: list[list[int]] = [
+            [] for _ in range(n_subtrees)
+        ]
+        self._stacked_index: Optional[StackedIndex] = None
+
+    def add(self, embeddings: np.ndarray) -> np.ndarray:
+        """Round-robin insert; one vmapped round inserts K instances."""
+        embeddings = np.asarray(embeddings, np.float32)
+        B = len(embeddings)
+        K = self.K
+        gids = np.arange(self.n_sentences, self.n_sentences + B)
+        lane_of = gids % K
+
+        # arrange per-lane streams; lanes may differ by at most 1 round
+        per_lane = [embeddings[lane_of == s] for s in range(K)]
+        R_full = min(len(p) for p in per_lane)
+        self._key, sub = jax.random.split(self._key)
+        all_keys = jax.random.split(sub, K * (R_full + 1)).reshape(
+            K, R_full + 1, -1
+        )
+
+        leaves_by_lane = [[] for _ in range(K)]
+        if R_full:
+            xs = np.stack([p[:R_full] for p in per_lane])       # (K, R, D)
+            self.state, leaves = vinsert_rounds(
+                self.state, jnp.asarray(xs), all_keys[:, :R_full], self.cfg
+            )
+            leaves = np.asarray(leaves)
+            for s in range(K):
+                leaves_by_lane[s].extend(int(l) for l in leaves[s])
+        rem_mask = np.asarray([len(p) > R_full for p in per_lane])
+        if rem_mask.any():
+            xs = np.stack([
+                p[R_full] if len(p) > R_full else np.zeros(
+                    self.cfg.dim, np.float32)
+                for p in per_lane
+            ])
+            self.state, leaf = vinsert_masked_round(
+                self.state, jnp.asarray(xs), all_keys[:, R_full],
+                jnp.asarray(rem_mask), self.cfg,
+            )
+            leaf = np.asarray(leaf)
+            for s in range(K):
+                if rem_mask[s]:
+                    leaves_by_lane[s].append(int(leaf[s]))
+
+        next_round = [0] * K
+        for g, s in zip(gids, lane_of):
+            self.shard_of.append(int(s))
+            self.local_sid.append(len(self._leaf_of_local[s]))
+            self._leaf_of_local[s].append(
+                leaves_by_lane[s][next_round[s]]
+            )
+            next_round[s] += 1
+        self.n_sentences += B
+        self._stacked_index = None
+        return gids
+
+    def build_index(self) -> StackedIndex:
+        if self._stacked_index is None:
+            self._stacked_index = build_stacked_index(
+                self.cfg, jax.device_get(self.state), self._leaf_of_local,
+                self.shard_of, self.local_sid, self.n_sentences,
+            )
+        return self._stacked_index
+
+    def query_topk(self, queries: np.ndarray, k: int):
+        idx = self.build_index()
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        scores, gids = _vforest_query(idx, q, k)
+        return np.asarray(scores), np.asarray(gids)

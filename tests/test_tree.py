@@ -150,3 +150,40 @@ def test_capacity_growth():
     tree.fit(xs, batch_size=16)
     st = tree._host_arrays()
     assert float(st.counts[int(st.root)]) == 50.0
+
+
+def test_vmapped_insert_matches_sequential():
+    """vmap over stacked trees must do exactly what per-tree sequential
+    inserts do (the deferred descent makes this shape-safe)."""
+    import jax
+    import jax.numpy as jnp
+    from rag_cobweb_tpu.core import tree as tree_mod
+
+    rng = np.random.default_rng(11)
+    K, n, dim = 4, 15, 6
+    xs = rng.normal(size=(K, n, dim)).astype(np.float32)
+    cfg = TreeConfig(dim=dim)
+    keys = jax.random.split(jax.random.PRNGKey(0), K * n).reshape(K, n, -1)
+
+    states = [tree_mod.init_state(256, dim, cfg.max_fanout)
+              for _ in range(K)]
+    stacked = jax.tree.map(lambda *a: jnp.stack(a), *states)
+
+    vstep = jax.jit(jax.vmap(
+        lambda s, x, k: tree_mod._insert_one(s, x, k, cfg)
+    ))
+    for i in range(n):
+        stacked, _ = vstep(stacked, jnp.asarray(xs[:, i]), keys[:, i])
+
+    step = jax.jit(lambda s, x, k: tree_mod._insert_one(s, x, k, cfg))
+    for lane in range(K):
+        st = states[lane]
+        for i in range(n):
+            st, _ = step(st, jnp.asarray(xs[lane, i]), keys[lane, i])
+        for field in ("counts", "means", "parent", "children",
+                      "n_children", "root", "n_alloc", "free_top"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st, field)),
+                np.asarray(getattr(stacked, field)[lane]),
+                err_msg=f"lane {lane} field {field}",
+            )
