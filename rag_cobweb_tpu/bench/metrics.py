@@ -80,12 +80,25 @@ def evaluate_retrieval(name: str, retrieve_fn, query_embs: np.ndarray,
             yield s, n, chunk
 
     # throughput: dispatch every batch asynchronously (jax queues device
-    # work), sync once at the end — how a serving pipeline would run
+    # work), sync once at the end — how a serving pipeline would run.
+    # Per-batch failures degrade to empty results instead of killing the
+    # whole evaluation (reference benchmark_utils.py:753-820 keeps a
+    # per-query error fallback in its process pool).
     results = []
+    errors = 0
     t0 = time.perf_counter()
     for s, n, chunk in batches():
-        results.append((s, n, retrieve_fn(chunk, top_k)))
-    host_results = [(s, n, np.asarray(ids)[:n]) for s, n, ids in results]
+        try:
+            results.append((s, n, retrieve_fn(chunk, top_k)))
+        except Exception as e:  # pragma: no cover - defensive
+            errors += 1
+            print(f"[evaluate_retrieval] batch at {s} failed: {e!r}")
+            results.append((s, n, None))
+    host_results = [
+        (s, n, np.asarray(ids)[:n] if ids is not None
+         else np.full((n, top_k), -1, np.int64))
+        for s, n, ids in results
+    ]
     elapsed = time.perf_counter() - t0
     for s, n, ids in host_results:
         all_ids[s:s + n, : ids.shape[1]] = ids
@@ -101,6 +114,8 @@ def evaluate_retrieval(name: str, retrieve_fn, query_embs: np.ndarray,
 
     out = retrieval_metrics(all_ids, target_ids, top_k, k_values)
     out["method"] = name
+    if errors:
+        out["failed_batches"] = errors
     out["time_taken"] = elapsed
     out["avg_latency_ms"] = 1000.0 * elapsed / max(B, 1)
     out["batch_latency_ms"] = 1000.0 * batch_latency

@@ -91,36 +91,6 @@ def init_state(capacity: int, dim: int, fanout: int) -> TreeState:
 # allocation helpers (free-list + high-water counter)
 # ---------------------------------------------------------------------------
 
-def _alloc(st: TreeState):
-    """Pop a free slot (recycled by split) or take the next unused index."""
-    use_free = st.free_top > 0
-    free_idx = st.free_stack[jnp.maximum(st.free_top - 1, 0)]
-    idx = jnp.where(use_free, free_idx, st.n_alloc)
-    st = st._replace(
-        n_alloc=jnp.where(use_free, st.n_alloc, st.n_alloc + 1),
-        free_top=jnp.where(use_free, st.free_top - 1, st.free_top),
-    )
-    # Reset the slot.
-    st = st._replace(
-        counts=st.counts.at[idx].set(0.0),
-        means=st.means.at[idx].set(0.0),
-        m2s=st.m2s.at[idx].set(0.0),
-        parent=st.parent.at[idx].set(NULL),
-        children=st.children.at[idx].set(NULL),
-        n_children=st.n_children.at[idx].set(0),
-    )
-    return st, idx
-
-
-def _free(st: TreeState, idx) -> TreeState:
-    return st._replace(
-        free_stack=st.free_stack.at[st.free_top].set(idx),
-        free_top=st.free_top + 1,
-        parent=st.parent.at[idx].set(NULL),
-        counts=st.counts.at[idx].set(0.0),
-        n_children=st.n_children.at[idx].set(0),
-        children=st.children.at[idx].set(NULL),
-    )
 
 
 def _node_stats(st: TreeState, idx) -> GaussStats:
@@ -134,21 +104,6 @@ def _gather_stats(st: TreeState, idxs) -> GaussStats:
     return GaussStats(st.counts[safe], st.means[safe], st.m2s[safe])
 
 
-def _increment(st: TreeState, idx, x) -> TreeState:
-    s = welford_insert(_node_stats(st, idx), x)
-    return st._replace(
-        counts=st.counts.at[idx].set(s.count),
-        means=st.means.at[idx].set(s.mean),
-        m2s=st.m2s.at[idx].set(s.m2),
-    )
-
-
-def _set_stats(st: TreeState, idx, s: GaussStats) -> TreeState:
-    return st._replace(
-        counts=st.counts.at[idx].set(s.count),
-        means=st.means.at[idx].set(s.mean),
-        m2s=st.m2s.at[idx].set(s.m2),
-    )
 
 
 def _compact_children(slots, keep_mask):
@@ -161,16 +116,6 @@ def _compact_children(slots, keep_mask):
     order = jnp.argsort(jnp.where(keep_mask, jnp.arange(F), F + jnp.arange(F)))
     return jnp.where(keep_mask[order], slots[order], NULL)
 
-
-def _is_exact_match(st: TreeState, idx, x) -> jnp.ndarray:
-    """CobwebTorchNode.is_exact_match (:652-666): leaf whose observed variance
-    is ~0 and whose mean ~equals the instance (torch.isclose tolerances)."""
-    count = st.counts[idx]
-    safe_count = jnp.maximum(count, 1.0)
-    std = jnp.sqrt(st.m2s[idx] / safe_count)
-    zero_var = jnp.all(jnp.isclose(std, 0.0, rtol=1e-5, atol=1e-8))
-    mean_match = jnp.all(jnp.isclose(x, st.means[idx], rtol=1e-5, atol=1e-8))
-    return (count > 0) & zero_var & mean_match
 
 
 # ---------------------------------------------------------------------------
@@ -266,21 +211,6 @@ def _peek_slots_virtual(free_stack, free_top, n_alloc):
     )
     return jnp.stack([s0, s1])
 
-
-def _peek_slots(st: TreeState):
-    """Reserve up to two fresh node slots without committing: slot i comes
-    from the free stack when deep enough, else from the bump counter.  The
-    deciders record how many were actually used; _apply_delta commits."""
-    n_free = st.free_top
-    s0 = jnp.where(n_free >= 1, st.free_stack[jnp.maximum(n_free - 1, 0)],
-                   st.n_alloc)
-    from_free1 = n_free >= 2
-    s1 = jnp.where(
-        from_free1, st.free_stack[jnp.maximum(n_free - 2, 0)],
-        # if s0 came from the stack, s1 is the first bump; else second bump
-        jnp.where(n_free >= 1, st.n_alloc, st.n_alloc + 1),
-    )
-    return jnp.stack([s0, s1])
 
 
 class _NextView(NamedTuple):
@@ -725,13 +655,31 @@ class CobwebTree:
         self.n_inserted += 1
         return int(leaf)
 
-    def fit(self, xs, batch_size: int = 2048) -> np.ndarray:
-        """Bulk incremental build; returns the leaf index of every instance.
+    def fit(self, xs, batch_size: int = 2048, iterations: int = 1,
+            randomize_first: bool = False, seed: int = 0) -> np.ndarray:
+        """Bulk incremental build; returns the leaf index of every instance
+        (of the final pass when ``iterations`` > 1 — old_code
+        CobwebTorchTree.fit :204-235 semantics: optional shuffle of the
+        first pass, repeated passes land on exact-match leaves).
 
         Ragged final chunks are zero-padded to ``batch_size`` with a dynamic
         valid-count so the compiled insert program is reused across calls.
         """
         xs = np.asarray(xs, np.float32)
+        if iterations > 1 or randomize_first:
+            order = np.arange(len(xs))
+            if randomize_first:
+                np.random.default_rng(seed).shuffle(order)
+            leaves_last = None
+            for it in range(iterations):
+                pass_xs = xs[order] if it == 0 else xs
+                got = self.fit(pass_xs, batch_size=batch_size)
+                if it == 0:
+                    inv = np.empty_like(order)
+                    inv[order] = np.arange(len(order))
+                    got = got[inv]
+                leaves_last = got
+            return leaves_last
         leaves = np.empty((len(xs),), np.int32)
         for s in range(0, len(xs), batch_size):
             chunk = xs[s:s + batch_size]
@@ -806,7 +754,7 @@ class CobwebTree:
 
     # -- categorize (host best-first; exact reference-parity path) ----------
     def categorize(self, x, max_nodes: int = 100_000,
-                   retrieve_k: Optional[int] = None,
+                   retrieve_k: Optional[int] = None, greedy: bool = False,
                    leaf_has_sentences=None, rng: Optional[np.random.Generator] = None):
         """Best-first search (reference _cobweb_categorize :235-289).
 
@@ -852,6 +800,8 @@ class CobwebTree:
             visited += 1
             if score > best_score:
                 best, best_score = cur, score
+            if greedy:  # keep only the best frontier (reference :261-262)
+                heap = []
             if visited >= max_nodes:
                 break
             if int(st.n_children[cur]) == 0 and leaf_has_sentences(cur):
