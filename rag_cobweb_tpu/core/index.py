@@ -371,30 +371,16 @@ def beam_search_topk(index: PredictionIndex, queries: jnp.ndarray,
     )
     beam_scores = jnp.where(beam_nodes >= 0, node_lp(beam_nodes), NEG)
 
-    leaf_cap = W * max_depth // 2 + k
-    leaves0 = jnp.full((B, leaf_cap), -1, jnp.int32)
-    leaf_scores0 = jnp.full((B, leaf_cap), NEG, jnp.float32)
-
-    def collect_leaves(leaves, lscores, nodes, scores, step):
-        """Append leaf nodes present in the current beam into the ring."""
+    def mask_leaves(nodes, scores):
+        """(nodes, scores) restricted to retrievable-leaf entries."""
         is_leaf = (nodes >= 0) & (
             index.leaf_sentence_count[jnp.maximum(nodes, 0)] > 0
         )
-        # merge: concat + top by score (keeps it simple & fixed-shape)
-        cand_nodes = jnp.concatenate(
-            [leaves, jnp.where(is_leaf, nodes, -1)], axis=1
-        )
-        cand_scores = jnp.concatenate(
-            [lscores, jnp.where(is_leaf, scores, NEG)], axis=1
-        )
-        top, ids = jax.lax.top_k(cand_scores, leaf_cap)
-        return jnp.take_along_axis(cand_nodes, ids, axis=1), top
+        return (jnp.where(is_leaf, nodes, -1),
+                jnp.where(is_leaf, scores, NEG))
 
     def step(carry, depth):
-        beam_nodes, beam_scores, leaves, lscores = carry
-        leaves, lscores = collect_leaves(
-            leaves, lscores, beam_nodes, beam_scores, depth
-        )
+        beam_nodes, beam_scores = carry
         # expand: (B, W, F) children
         safe = jnp.maximum(beam_nodes, 0)
         kids = jnp.where(
@@ -404,14 +390,26 @@ def beam_search_topk(index: PredictionIndex, queries: jnp.ndarray,
         top, ids = jax.lax.top_k(kid_scores, W)
         new_nodes = jnp.take_along_axis(kids, ids, axis=1)
         new_nodes = jnp.where(top > NEG / 2, new_nodes, -1)
-        return (new_nodes, top, leaves, lscores), None
+        # emit this level's leaves as a scan output (one segment per depth)
+        # instead of re-sorting a running ring every level
+        return (new_nodes, top), mask_leaves(new_nodes, top)
 
-    carry = (beam_nodes, beam_scores, leaves0, leaf_scores0)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(max_depth))
-    beam_nodes, beam_scores, leaves, lscores = carry
-    leaves, lscores = collect_leaves(
-        leaves, lscores, beam_nodes, beam_scores, max_depth
+    root_leaf = mask_leaves(beam_nodes, beam_scores)  # degenerate tiny trees
+    (beam_nodes, beam_scores), (seg_nodes, seg_scores) = jax.lax.scan(
+        step, (beam_nodes, beam_scores), jnp.arange(max_depth)
     )
+    all_nodes = jnp.concatenate(
+        [jnp.transpose(seg_nodes, (1, 0, 2)).reshape(B, max_depth * W),
+         root_leaf[0]], axis=1,
+    )
+    all_scores = jnp.concatenate(
+        [jnp.transpose(seg_scores, (1, 0, 2)).reshape(B, max_depth * W),
+         root_leaf[1]], axis=1,
+    )
+    leaf_cap = min(W * max_depth, W * max_depth // 2 + k)
+    lscores, ids = jax.lax.top_k(all_scores, leaf_cap)
+    leaves = jnp.take_along_axis(all_nodes, ids, axis=1)
+    leaves = jnp.where(lscores > NEG / 2, leaves, -1)
     return lscores, leaves
 
 
