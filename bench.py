@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--pca-dim", type=int, default=128)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--bulk", action="store_true",
+                    help="build with the frozen-epoch bulk insert path")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -71,8 +73,15 @@ def main():
     warm_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     if len(corpus_w) > warm_n:
-        db.add_sentences([None] * (len(corpus_w) - warm_n),
-                         corpus_w[warm_n:])
+        if args.bulk:
+            from rag_cobweb_tpu.core.bulk import bulk_insert
+            leaves = bulk_insert(db.tree, corpus_w[warm_n:])
+            db.sentences.extend([None] * (len(corpus_w) - warm_n))
+            db.leaf_of_sentence.extend(int(l) for l in leaves)
+            db._invalidate_index()
+        else:
+            db.add_sentences([None] * (len(corpus_w) - warm_n),
+                             corpus_w[warm_n:])
     steady_s = max(time.perf_counter() - t0, 1e-9)
     build_s = warm_s + steady_s
     steady_rate = (len(corpus_w) - warm_n) / steady_s if \

@@ -308,8 +308,9 @@ def _decide_internal(st: TreeState, view: _View, x, slots, key,
     grandchildren = _gather_stats(st, gc_idx)
 
     nc = view.n
+    n_gc_b1 = st.n_children[b1_node]
     fanout_full = nc >= F
-    split_fits = (nc - 1 + st.n_children[b1_node]) <= F
+    split_fits = (nc - 1 + n_gc_b1) <= F
 
     if cfg.greedy:
         op = jnp.int32(opscore.OP_NEW)
@@ -396,7 +397,7 @@ def _decide_internal(st: TreeState, view: _View, x, slots, key,
         keep = mask & (child_idx != b1_node)
         kept = _compact_children(child_idx, keep)
         n_keep = nc - 1
-        n_gc = st.n_children[b1_node]
+        n_gc = n_gc_b1
         lane = jnp.arange(F)
         gc_gathered = gc_idx[jnp.clip(lane - n_keep, 0, F - 1)]
         cur_row = jnp.where(
@@ -475,12 +476,18 @@ def _descend_collect(st: TreeState, x: jnp.ndarray, key: jax.Array,
         step_key = jax.random.fold_in(key, c.steps)
         slots = _peek_slots_virtual(st.free_stack, c.vfree_top, c.vn_alloc)
         is_leaf = c.view.n == 0
-        d, nv = jax.lax.cond(
-            is_leaf,
-            lambda _: _decide_leaf(c.view, x, slots, cfg, F),
-            lambda _: _decide_internal(st, c.view, x, slots, step_key, cfg),
-            None,
-        )
+        # compute BOTH cases and select the small outputs: a lax.cond with a
+        # (vmapped) batched predicate would broadcast every closed-over
+        # constant — including the full state arrays — to one copy per lane
+        d_leaf, nv_leaf = _decide_leaf(c.view, x, slots, cfg, F)
+        d_int, nv_int = _decide_internal(st, c.view, x, slots, step_key, cfg)
+
+        def pick(a, b):
+            cond = jnp.reshape(is_leaf, (1,) * a.ndim) if a.ndim else is_leaf
+            return jnp.where(cond, a, b)
+
+        d = jax.tree.map(pick, d_leaf, d_int)
+        nv = jax.tree.map(pick, nv_leaf, nv_int)
         from_free = jnp.minimum(d.slots_used, c.vfree_top)
         d = d._replace(slots_from_free=from_free)
         dbuf = jax.tree.map(
@@ -684,9 +691,13 @@ class CobwebTree:
         for s in range(0, len(xs), batch_size):
             chunk = xs[s:s + batch_size]
             n = len(chunk)
-            if n < batch_size and len(xs) > batch_size:
+            # pad every chunk to a power-of-two bucket (the dynamic n_valid
+            # bound skips padding rows) so arbitrary lengths reuse a handful
+            # of compiled programs instead of recompiling per length
+            bucket = min(batch_size, max(16, 1 << max(n - 1, 1).bit_length()))
+            if n < bucket:
                 chunk = np.concatenate(
-                    [chunk, np.zeros((batch_size - n, xs.shape[1]), np.float32)]
+                    [chunk, np.zeros((bucket - n, xs.shape[1]), np.float32)]
                 )
             self._ensure_capacity(n)
             keys = self._next_keys(len(chunk))
