@@ -86,11 +86,14 @@ class CobwebIndex:
     # ingestion                                                          #
     # ------------------------------------------------------------------ #
     def add_sentences(self, new_sentences, new_vectors=None,
-                      batch_size: int = 2048):
+                      batch_size: int = 2048, fast_build: bool = False):
         """Incrementally insert sentences/embeddings (reference :52-80).
 
         The per-item Python loop of the reference becomes a batched
         on-device insert; leaf assignment comes back as one array.
+        ``fast_build=True`` uses the frozen-epoch bulk path (core/bulk.py):
+        chunk-level approximation with exact fallback; same recall in
+        benchmarks, higher throughput on insert-heavy workloads.
         """
         if new_vectors is None:
             new_vectors = self.encode_func(new_sentences)
@@ -101,7 +104,11 @@ class CobwebIndex:
             raise ValueError(
                 f"vector dim {new_vectors.shape[1]} != tree dim {self.cfg.dim}"
             )
-        leaves = self.tree.fit(new_vectors, batch_size=batch_size)
+        if fast_build and len(new_vectors) > 256 and self.tree.n_inserted > 0:
+            from rag_cobweb_tpu.core.bulk import bulk_insert
+            leaves = bulk_insert(self.tree, new_vectors, chunk=batch_size)
+        else:
+            leaves = self.tree.fit(new_vectors, batch_size=batch_size)
         self.sentences.extend(new_sentences)
         self.leaf_of_sentence.extend(int(l) for l in leaves)
         self._invalidate_index()

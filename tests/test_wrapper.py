@@ -130,3 +130,20 @@ def test_smoke_sample_corpus():
     blob = idx.dump_json()
     loaded = CobwebIndex.load_json(blob, encode_func=fake_encode)
     assert loaded.predict_fast(query, k=3) == fast
+
+
+def test_fast_build_mode():
+    rng = np.random.default_rng(12)
+    centers = rng.normal(scale=3.0, size=(6, 16))
+    embs = np.concatenate(
+        [c + 0.2 * rng.normal(size=(80, 16)) for c in centers]
+    ).astype(np.float32)
+    order = rng.permutation(len(embs))
+    embs = embs[order]
+    idx = CobwebIndex(corpus=None, corpus_embeddings=embs[:64],
+                      config=TreeConfig(dim=16), capacity=4096)
+    idx.add_sentences([None] * (len(embs) - 64), embs[64:], fast_build=True)
+    assert len(idx) == len(embs)
+    out = idx.predict_fast(embs[100], k=3, is_embedding=True,
+                           return_ids=True)
+    assert 100 in out
