@@ -15,7 +15,6 @@ import os
 import shlex
 import subprocess
 import sys
-from typing import Optional
 
 DEFAULT_SLURM = {
     "partition": "tpu",

@@ -7,27 +7,27 @@ semantics for throughput, the way SURVEY.md §7 stage 6 plans ("chunked
 inserts with conflict handling; validate recall parity under permuted
 insert order — measure, don't assume"):
 
-  * all M instances of a chunk run a *read-only* descent against the state
-    frozen at chunk start — ONE vmapped device call;
-  * statistic updates compose exactly: every visited node receives the
-    Chan-merge of its frozen stats with the batch stats of the instances
-    that passed through it (order-free, numerically equivalent to any
-    sequential interleaving);
-  * structural effects (new leaf, fringe split) compose per parent row;
-    instances whose descent chose merge/split, overflowed a fanout block,
-    or collided on the same leaf fall back to the exact sequential path;
+  * all M instances of a chunk run the full deferred descent
+    (core/tree._descend_collect) against the state frozen at chunk start —
+    ONE vmapped device call (~29k descents/s on v5e), recording every
+    step's structural effects INCLUDING merges, splits and fringe splits;
+  * statistic updates compose exactly: every node receives the Chan-merge
+    of its base stats with the batch statistics of the instances that
+    incremented it (order-free — mathematically identical to any
+    sequential interleaving of Welford updates);
+  * structural effects replay per accepted instance; an instance is
+    accepted only if its *snapshot sources* (nodes whose frozen stats it
+    baked into a merge node or fringe parent, plus split-freed nodes) are
+    untouched by every other accepted instance and its row edits don't
+    collide — otherwise it falls back to the exact sequential path;
   * decisions within a chunk do not see each other's updates — the
     approximation.  Recall parity is validated in tests/test_bulk.py and
-    measured in the bench.
-
-Typical conflict/fallback rate on clustered data is a few percent, so the
-effective throughput approaches (chunk descent + compose) / M.
+    at benchmark scale (identical recall@10 at c=10000).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,11 +35,7 @@ import numpy as np
 
 from rag_cobweb_tpu.core.config import TreeConfig
 from rag_cobweb_tpu.core import tree as tree_mod
-from rag_cobweb_tpu.core.tree import NULL, TreeState
-from rag_cobweb_tpu.ops import opscore
-from rag_cobweb_tpu.ops.gaussian import welford_insert
-
-OP_ABSORB, OP_NEW, OP_FRINGE, OP_FALLBACK = 0, 1, 2, 3
+from rag_cobweb_tpu.core.tree import TreeState
 
 
 def _bucket(n: int, lo: int = 64) -> int:
@@ -48,135 +44,53 @@ def _bucket(n: int, lo: int = 64) -> int:
     return max(lo, 1 << max(n - 1, 1).bit_length())
 
 
-def _pad_i32(a: np.ndarray, size: int, fill=-1) -> np.ndarray:
+def _pad(a: np.ndarray, size: int, fill) -> np.ndarray:
     out = np.full((size,) + a.shape[1:], fill, a.dtype)
     out[: len(a)] = a
     return out
 
 
-class FrozenDescent(NamedTuple):
-    visited: jnp.ndarray   # (S,) nodes this instance increments (-1 pad)
-    op: jnp.ndarray        # () terminal op code
-    parent: jnp.ndarray    # () parent node of the terminal op
-    target: jnp.ndarray    # () leaf for absorb/fringe, -1 otherwise
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
+def _collect_chunk(st: TreeState, xs, keys, cfg: TreeConfig,
+                   max_steps: int = 24):
+    """vmapped deferred descent against frozen state with bump-only slot
+    allocation (free_top forced to 0, so every instance draws the same
+    deterministic virtual id sequence n_alloc0, n_alloc0+1, ... — remapped
+    per instance on the host)."""
+    st0 = st._replace(free_top=jnp.zeros((), jnp.int32))
 
-
-def _descend_frozen(st: TreeState, x, key, cfg: TreeConfig,
-                    max_steps: int = 16) -> FrozenDescent:
-    """Read-only descent against frozen state.  Records the increment path
-    and the terminal op; merge/split (or an over-deep descent) flags the
-    instance for the exact fallback path."""
-    F = st.fanout
-
-    def cond(c):
-        view, steps, visited, done, op, parent, target = c
-        return (~done) & (steps < max_steps)
-
-    def body(c):
-        view, steps, visited, done, op, parent, target = c
-        step_key = jax.random.fold_in(key, steps)
-        is_leaf = view.n == 0
-
-        def leaf_case(_):
-            count = view.stats.count
-            safe = jnp.maximum(count, 1.0)
-            std = jnp.sqrt(view.stats.m2 / safe)
-            exact = (count > 0) \
-                & jnp.all(jnp.isclose(std, 0.0, rtol=1e-5, atol=1e-8)) \
-                & jnp.all(jnp.isclose(x, view.stats.mean,
-                                      rtol=1e-5, atol=1e-8))
-            absorb = exact | (count == 0.0)
-            # absorb: the leaf itself is incremented; fringe: it is not
-            new_visited = jnp.where(
-                absorb, visited.at[steps].set(view.cur), visited
-            )
-            return (view, new_visited, jnp.bool_(True),
-                    jnp.where(absorb, OP_ABSORB, OP_FRINGE),
-                    view.parent, view.cur)
-
-        def internal_case(_):
-            k_two, k_op = jax.random.split(step_key)
-            child_idx = view.row
-            mask = child_idx >= 0
-            children = tree_mod._gather_stats(st, child_idx)
-            tb = opscore.two_best_children(x, view.stats, children, mask,
-                                           cfg, k_two)
-            b1_node = child_idx[tb.best1]
-            gc_idx = st.children[b1_node]
-            gc_mask = gc_idx >= 0
-            grandchildren = tree_mod._gather_stats(st, gc_idx)
-            nc = view.n
-            if cfg.greedy:
-                o = jnp.int32(opscore.OP_NEW)
-            else:
-                o, _ = opscore.best_operation(
-                    x, view.stats, children, mask, tb, grandchildren,
-                    gc_mask, cfg, k_op, nc >= F,
-                    (nc - 1 + st.n_children[b1_node]) <= F,
-                )
-            is_best = o == opscore.OP_BEST
-            is_new = o == opscore.OP_NEW
-            # merge/split -> fallback (structural decisions too entangled
-            # to compose against a frozen epoch)
-            new_visited = jnp.where(
-                is_best | is_new, visited.at[steps].set(view.cur), visited
-            )
-            nxt = tree_mod._view_from_state(st, b1_node)._replace(
-                parent=view.cur, prev_row=view.row, prev_n=view.n
-            )
-            return (
-                jax.tree.map(lambda a, b: jnp.where(
-                    jnp.reshape(is_best, (1,) * a.ndim)
-                    if a.ndim else is_best, a, b), nxt, view),
-                new_visited,
-                ~is_best,
-                jnp.where(is_new, OP_NEW, OP_FALLBACK),
-                view.cur,
-                NULL,
-            )
-
-        # compute both + select (see core/tree.py note: a batched-pred cond
-        # broadcasts closed-over state arrays per vmap lane)
-        lc = leaf_case(None)
-        ic = internal_case(None)
-
-        def pick(a, b):
-            cond = jnp.reshape(is_leaf, (1,) * a.ndim) if a.ndim else is_leaf
-            return jnp.where(cond, a, b)
-
-        view2, visited2, done2, op2, parent2, target2 = jax.tree.map(
-            pick, lc, ic
+    def one(x, k):
+        dbuf, steps, leaf = tree_mod._descend_collect(
+            st0, x, k, cfg, max_steps=max_steps
         )
-        return (view2, steps + 1, visited2, done2, op2, parent2, target2)
+        small = {
+            "stat_idx": dbuf.stat_idx,       # (S, 3)
+            "crow_idx": dbuf.crow_idx,       # (S, 3)
+            "crow_vals": dbuf.crow_vals,     # (S, 3, F)
+            "crow_n": dbuf.crow_n,           # (S, 3)
+            "par_idx": dbuf.par_idx,         # (S, F+3)
+            "par_val": dbuf.par_val,
+            "free_node": dbuf.free_node,     # (S,)
+            "slots_used": dbuf.slots_used,   # (S,)
+            "done": dbuf.done,               # (S,)
+            "root": dbuf.root,               # (S,)
+        }
+        return small, steps, leaf
 
-    view0 = tree_mod._view_from_state(st, st.root)
-    init = (view0, jnp.zeros((), jnp.int32),
-            jnp.full((max_steps,), NULL, jnp.int32), jnp.bool_(False),
-            jnp.int32(OP_FALLBACK), NULL, NULL)
-    view, steps, visited, done, op, parent, target = jax.lax.while_loop(
-        cond, body, init
-    )
-    op = jnp.where(done, op, OP_FALLBACK)  # over-deep descent -> fallback
-    return FrozenDescent(visited=visited, op=op, parent=parent,
-                         target=target)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def descend_frozen_batch(st: TreeState, xs, keys, cfg: TreeConfig):
-    return jax.vmap(lambda x, k: _descend_frozen(st, x, k, cfg))(xs, keys)
+    return jax.vmap(one)(xs, keys)
 
 
 @functools.partial(jax.jit, static_argnames=())
 def _gather_rows(st: TreeState, idx):
-    """Fetch (counts, means, m2s, children, n_children, parent) rows."""
     safe = jnp.maximum(idx, 0)
     return (st.counts[safe], st.means[safe], st.m2s[safe],
-            st.children[safe], st.n_children[safe], st.parent[safe])
+            st.children[safe], st.n_children[safe])
 
 
 @jax.jit
 def _apply_bulk(st: TreeState, stat_idx, stat_count, stat_mean, stat_m2,
-                crow_idx, crow_vals, crow_n, par_idx, par_val, n_new):
+                crow_idx, crow_vals, crow_n, par_idx, par_val,
+                free_nodes, n_free, n_new, new_root):
     cap = st.counts.shape[0]
     si = jnp.where(stat_idx >= 0, stat_idx, cap)
     st = st._replace(
@@ -191,212 +105,356 @@ def _apply_bulk(st: TreeState, stat_idx, stat_count, stat_mean, stat_m2,
     )
     pi = jnp.where(par_idx >= 0, par_idx, cap)
     st = st._replace(parent=st.parent.at[pi].set(par_val, mode="drop"))
-    return st._replace(n_alloc=st.n_alloc + n_new)
+    # push split-freed nodes onto the free stack
+    lane = jnp.arange(free_nodes.shape[0])
+    pos = jnp.where(lane < n_free, st.free_top + lane, cap)
+    st = st._replace(
+        free_stack=st.free_stack.at[pos].set(free_nodes, mode="drop"),
+        free_top=st.free_top + n_free,
+        n_alloc=st.n_alloc + n_new,
+        root=jnp.where(new_root >= 0, new_root, st.root),
+    )
+    return st
 
 
-def bulk_insert(tree, xs: np.ndarray, chunk: int = 2048) -> np.ndarray:
+def bulk_insert(tree, xs: np.ndarray, chunk: int = 2048,
+                max_steps: int = 24) -> np.ndarray:
     """Insert ``xs`` in frozen-epoch chunks.  Returns leaf ids per instance.
 
-    ``tree`` is a core.tree.CobwebTree; conflicted / structural-op
-    instances are re-inserted through ``tree.fit`` (exact path).
+    ``tree`` is a core.tree.CobwebTree; conflicted or over-deep instances
+    are re-inserted through ``tree.fit`` (exact path).
     """
     xs = np.asarray(xs, np.float32)
     cfg: TreeConfig = tree.cfg
+    F = cfg.max_fanout
     leaves_out = np.full((len(xs),), -1, np.int64)
 
     for s0 in range(0, len(xs), chunk):
         cx = xs[s0:s0 + chunk]
         M = len(cx)
-        tree._ensure_capacity(M)
+        tree._ensure_capacity(2 * M)
         keys = tree._next_keys(M)
-        fd = descend_frozen_batch(tree.state, jnp.asarray(cx), keys, cfg)
-        visited = np.asarray(fd.visited)          # (M, S)
-        ops = np.asarray(fd.op)
-        parents = np.asarray(fd.parent)
-        targets = np.asarray(fd.target)
-
-        fallback = ops == OP_FALLBACK
-        # leaf-collision policy: concurrent absorbs on a leaf compose
-        # exactly (same stat aggregation); any fringe on a leaf conflicts
-        # with every other terminal op on it — first wins, rest fall back
-        seen: dict[int, int] = {}   # leaf -> first op kind
-        for i in range(M):
-            if fallback[i]:
-                continue
-            op_i = int(ops[i])
-            if op_i not in (OP_ABSORB, OP_FRINGE):
-                continue
-            t = int(targets[i])
-            prev = seen.get(t)
-            if prev is None:
-                seen[t] = op_i
-            elif prev == OP_ABSORB and op_i == OP_ABSORB:
-                pass  # exact composition
-            else:
-                fallback[i] = True
-
-        # per-parent structural composition for new/fringe
-        st_host_needed = np.unique(np.concatenate([
-            visited[visited >= 0].ravel(),
-            parents[(ops == OP_NEW) | (ops == OP_FRINGE)],
-            targets[ops == OP_FRINGE],
-        ])) if M else np.zeros((0,), np.int64)
-        st_host_needed = st_host_needed[st_host_needed >= 0].astype(np.int32)
-        padded_need = _pad_i32(st_host_needed, _bucket(len(st_host_needed)),
-                               fill=0)
-        g_counts, g_means, g_m2s, g_children, g_nchildren, g_parent = (
-            np.asarray(a) for a in _gather_rows(
-                tree.state, jnp.asarray(padded_need))
+        small, steps, leaves = _collect_chunk(
+            tree.state, jnp.asarray(cx), keys, cfg, max_steps=max_steps
         )
-        lut = {int(n): j for j, n in enumerate(st_host_needed)}
-
-        F = cfg.max_fanout
+        small = {k: np.asarray(v) for k, v in small.items()}
+        steps = np.asarray(steps)
+        leaves = np.asarray(leaves)
         n_alloc0 = int(np.asarray(tree.state.n_alloc))
-        next_new = n_alloc0
-        new_stats: list[tuple] = []        # (node, count, mean, m2)
-        row_edit: dict[int, np.ndarray] = {}
-        row_n: dict[int, int] = {}
-        par_updates: list[tuple] = []
-        leaf_of = np.full((M,), -1, np.int64)
-        # stat contribution bookkeeping: visited rows of fallback instances
-        # must NOT contribute (they will re-run exactly)
+
+        slots_used = small["slots_used"]        # (M, S)
+        free_node = small["free_node"]
+        done = small["done"]
+        alloc_per_inst = slots_used.sum(axis=1)
+        offsets = np.zeros((M,), np.int64)
+
+        def remap(v, i):
+            """virtual fresh ids (>= n_alloc0) -> this instance's global ids"""
+            v = np.asarray(v)
+            return np.where(v >= n_alloc0, v + offsets[i], v)
+
+        def exist(n):
+            return 0 <= n < n_alloc0
+
+        # ---- pre-scan: classify every instance's steps -----------------
+        recs = []
+        all_candidates: set = set()
         for i in range(M):
-            if fallback[i]:
+            n_steps = int(steps[i])
+            if leaves[i] < 0 or n_steps == 0:
+                recs.append(None)
                 continue
-            op = int(ops[i])
-            if op == OP_ABSORB:
-                leaf_of[i] = int(targets[i])
+            rec = {"incr": set(), "src": set(), "freed": set(),
+                   "rewr": set(), "splice": [], "append": []}
+            for t in range(n_steps):
+                su = int(slots_used[i, t])
+                dn = bool(done[i, t])
+                fn = int(free_node[i, t])
+                sidx = small["stat_idx"][i, t]
+                cidx = small["crow_idx"][i, t]
+                cvals = small["crow_vals"][i, t]
+                if fn >= 0:                       # split
+                    rec["src"].add(fn)
+                    rec["freed"].add(fn)
+                    if exist(int(cidx[0])):
+                        rec["rewr"].add(int(cidx[0]))
+                elif su == 1 and not dn:          # merge
+                    rec["incr"].add(int(sidx[0]))
+                    rec["src"].add(int(cvals[1][0]))
+                    rec["src"].add(int(cvals[1][1]))
+                    if exist(int(cidx[0])):
+                        rec["rewr"].add(int(cidx[0]))
+                elif su == 1 and dn:              # new leaf at parent P
+                    rec["incr"].add(int(sidx[0]))
+                    P = int(cidx[0])
+                    if exist(P) and P not in rec["rewr"]:
+                        rec["append"].append((P, t))
+                elif su == 2:                     # fringe split at leaf L
+                    rec["src"].add(int(cvals[0][0]))
+                    P = int(cidx[1])
+                    if exist(P) and P not in rec["rewr"]:
+                        rec["splice"].append((P, t))
+                elif dn:                          # absorb
+                    rec["incr"].add(int(sidx[0]))
+                else:                             # best
+                    rec["incr"].add(int(sidx[0]))
+            recs.append(rec)
+            all_candidates |= {n for n in rec["incr"] | rec["src"]
+                               | rec["rewr"] if exist(n)}
+            all_candidates |= {p for p, _ in rec["splice"]}
+            all_candidates |= {p for p, _ in rec["append"]}
+
+        # ---- one gather of frozen rows for all candidates --------------
+        te = np.asarray(sorted(all_candidates), np.int32)
+        te_pad = _pad(te, _bucket(max(len(te), 1)), 0)
+        g_counts, g_means, g_m2s, g_children, g_nch = (
+            np.asarray(a) for a in _gather_rows(
+                tree.state, jnp.asarray(te_pad))
+        )
+        lut = {int(n): j for j, n in enumerate(te)}
+
+        def base_of(node):
+            j = lut[node]
+            return (float(g_counts[j]), g_means[j].astype(np.float64),
+                    g_m2s[j].astype(np.float64))
+
+        # ---- acceptance: snapshot-source conflict rules, with shared
+        # splice/append composition on untouched parents ------------------
+        INCR: set = set()
+        SRC: set = set()
+        REWR: set = set()
+        SHARED: set = set()
+        FREED: set = set()
+        append_cnt: dict = {}
+        accepted = np.zeros((M,), bool)
+        for i in range(M):
+            rec = recs[i]
+            if rec is None:
                 continue
-            P = int(parents[i])
-            if op == OP_NEW:
-                if P not in row_edit:
-                    j = lut[P]
-                    row_edit[P] = g_children[j].copy()
-                    row_n[P] = int(g_nchildren[j])
-                if row_n[P] >= F:
-                    fallback[i] = True
-                    continue
-                leaf = next_new
-                next_new += 1
-                row_edit[P][row_n[P]] = leaf
-                row_n[P] += 1
-                new_stats.append((leaf, 1.0, cx[i], np.zeros_like(cx[i])))
-                row_edit[leaf] = np.full((F,), -1, np.int32)
-                row_n[leaf] = 0
-                par_updates.append((leaf, P))
-                leaf_of[i] = leaf
-            elif op == OP_FRINGE:
-                L = int(targets[i])
-                jL = lut[L]
-                p_new, leaf = next_new, next_new + 1
-                next_new += 2
-                # p_new = frozen L stats + x  (welford)
-                c0 = float(g_counts[jL])
-                mu0 = g_means[jL].astype(np.float64)
-                m20 = g_m2s[jL].astype(np.float64)
-                c1 = c0 + 1.0
-                delta = cx[i] - mu0
-                mu1 = mu0 + delta / c1
-                m21 = m20 + delta * (cx[i] - mu1)
-                new_stats.append((p_new, c1, mu1.astype(np.float32),
-                                  m21.astype(np.float32)))
-                new_stats.append((leaf, 1.0, cx[i], np.zeros_like(cx[i])))
-                p_row = np.full((F,), -1, np.int32)
-                p_row[0], p_row[1] = L, leaf
-                row_edit[p_new] = p_row
-                row_n[p_new] = 2
-                row_edit[leaf] = np.full((F,), -1, np.int32)
-                row_n[leaf] = 0
-                par_updates += [(p_new, P), (L, p_new), (leaf, p_new)]
-                if P >= 0:
-                    if P not in row_edit:
-                        j = lut[P]
-                        row_edit[P] = g_children[j].copy()
-                        row_n[P] = int(g_nchildren[j])
-                    row_edit[P][row_edit[P] == L] = p_new
-                else:
-                    # leaf WAS the root (degenerate tiny tree)
-                    tree.state = tree.state._replace(
-                        root=jnp.asarray(p_new, jnp.int32)
-                    )
-                leaf_of[i] = leaf
+            incr_e = {n for n in rec["incr"] if exist(n)}
+            src_e = {n for n in rec["src"] if exist(n)}
+            freed_e = {n for n in rec["freed"] if exist(n)}
+            shared_p = {p for p, _ in rec["splice"]} |                        {p for p, _ in rec["append"]}
+            if (src_e & (INCR | SRC | REWR | SHARED))                     or (rec["rewr"] & (REWR | SHARED))                     or (shared_p & (REWR | SRC | FREED))                     or (incr_e & (SRC | FREED))                     or (freed_e & (INCR | SRC | REWR | SHARED)):
+                continue
+            # fanout capacity across composed appends
+            ok = True
+            local_cnt: dict = {}
+            for p, _ in rec["append"]:
+                local_cnt[p] = local_cnt.get(p, 0) + 1
+            for p, c in local_cnt.items():
+                if int(g_nch[lut[p]]) + append_cnt.get(p, 0) + c > F:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            accepted[i] = True
+            INCR |= incr_e
+            SRC |= src_e
+            REWR |= rec["rewr"]
+            SHARED |= shared_p
+            FREED |= freed_e
+            for p, c in local_cnt.items():
+                append_cnt[p] = append_cnt.get(p, 0) + c
 
-        # ---- exact order-free stat aggregation over visited nodes ----
-        ok = ~fallback
-        vis = visited[ok]                          # (Mok, S)
-        inst = np.repeat(np.arange(M)[ok], vis.shape[1] if vis.size else 0)
-        flat = vis.ravel()
-        keep = flat >= 0
-        flat, inst = flat[keep], inst[keep]
-        stat_rows: list[tuple] = []
-        if len(flat):
-            uniq, inv = np.unique(flat, return_inverse=True)
-            T = len(uniq)
-            n_b = np.zeros((T,), np.float64)
-            s_b = np.zeros((T, cx.shape[1]), np.float64)
-            q_b = np.zeros((T, cx.shape[1]), np.float64)
-            np.add.at(n_b, inv, 1.0)
-            np.add.at(s_b, inv, cx[inst].astype(np.float64))
-            np.add.at(q_b, inv, (cx[inst].astype(np.float64)) ** 2)
-            mean_b = s_b / n_b[:, None]
-            m2_b = q_b - n_b[:, None] * mean_b ** 2
-            for j, node in enumerate(uniq):
-                g = lut[int(node)]
-                c0, mu0 = float(g_counts[g]), g_means[g].astype(np.float64)
-                m20 = g_m2s[g].astype(np.float64)
-                tot = c0 + n_b[j]
-                d = mean_b[j] - mu0
-                m2 = m20 + m2_b[j] + d * d * (c0 * n_b[j] / tot)
-                mu = (c0 * mu0 + n_b[j] * mean_b[j]) / tot
-                stat_rows.append((int(node), tot, mu.astype(np.float32),
-                                  m2.astype(np.float32)))
-
-        stat_rows += new_stats
-        n_new = next_new - n_alloc0
+        run = 0
+        for i in range(M):
+            if accepted[i]:
+                offsets[i] = run
+                run += int(alloc_per_inst[i])
+        n_new = run
+        fallback = ~accepted
         tree._ensure_capacity(n_new // 2 + 1)
 
-        if stat_rows or row_edit or par_updates:
+        if accepted.any():
+            incr_pairs: list[tuple[int, int]] = []   # (node, instance)
+            fresh_base: dict[int, tuple] = {}
+            row_final: dict[int, np.ndarray] = {}
+            rown_final: dict[int, int] = {}
+            par_final: dict[int, int] = {}
+            shared_splices: dict[int, list] = {}     # P -> [(L, p_new_g)]
+            shared_appends: dict[int, list] = {}     # P -> [leaf_g]
+            freed_all: list[int] = []
+            new_root = -1
             D = cx.shape[1]
-            sidx = np.asarray([r[0] for r in stat_rows], np.int32) \
-                if stat_rows else np.zeros((0,), np.int32)
-            scount = np.asarray([r[1] for r in stat_rows], np.float32) \
-                if stat_rows else np.zeros((0,), np.float32)
-            smean = np.stack([r[2] for r in stat_rows]).astype(np.float32) \
-                if stat_rows else np.zeros((0, D), np.float32)
-            sm2 = np.stack([r[3] for r in stat_rows]).astype(np.float32) \
-                if stat_rows else np.zeros((0, D), np.float32)
-            cidx = np.asarray(list(row_edit), np.int32)
-            cvals = np.stack([row_edit[int(i)] for i in cidx]).astype(
-                np.int32) if len(cidx) else np.zeros((0, F), np.int32)
-            cn = np.asarray([row_n[int(i)] for i in cidx], np.int32) \
-                if len(cidx) else np.zeros((0,), np.int32)
-            pidx = np.asarray([p[0] for p in par_updates], np.int32) \
-                if par_updates else np.zeros((0,), np.int32)
-            pval = np.asarray([p[1] for p in par_updates], np.int32) \
-                if par_updates else np.zeros((0,), np.int32)
-            # bucket to stable shapes (padding routed OOB by _apply_bulk)
-            bs = _bucket(len(sidx))
-            bc = _bucket(len(cidx), lo=16)
-            bp = _bucket(len(pidx), lo=16)
+            for i in range(M):
+                if not accepted[i]:
+                    continue
+                rec = recs[i]
+                n_steps = int(steps[i])
+                for t in range(n_steps):
+                    su = int(slots_used[i, t])
+                    dn = bool(done[i, t])
+                    fn = int(free_node[i, t])
+                    sidx = remap(small["stat_idx"][i, t], i)
+                    cidx = remap(small["crow_idx"][i, t], i)
+                    cvals = remap(small["crow_vals"][i, t], i)
+                    cn = small["crow_n"][i, t]
+                    pidx = remap(small["par_idx"][i, t], i)
+                    pval = remap(small["par_val"][i, t], i)
+                    rt = int(small["root"][i, t])
+                    if rt >= 0:
+                        new_root = int(remap(np.asarray([rt]), i)[0])
+                    is_new = su == 1 and dn and fn < 0
+                    is_fringe = su == 2
+                    shared_new = is_new and (int(cidx[0]), t) in [
+                        (p, tt) for p, tt in rec["append"]]
+                    shared_fringe = is_fringe and (int(cidx[1]), t) in [
+                        (p, tt) for p, tt in rec["splice"]]
+                    for j in range(3):
+                        if cidx[j] < 0:
+                            continue
+                        if j == 0 and shared_new:
+                            continue          # composed below
+                        if j == 1 and shared_fringe:
+                            continue          # composed below
+                        row_final[int(cidx[j])] = cvals[j].copy()
+                        rown_final[int(cidx[j])] = int(cn[j])
+                    for j in range(len(pidx)):
+                        if pidx[j] >= 0:
+                            par_final[int(pidx[j])] = int(pval[j])
+                    if fn >= 0:                   # split: no stat writes
+                        freed_all.append(fn)
+                        continue
+                    if is_fringe:                 # fringe: p_new + leaf
+                        p_new, leaf = int(sidx[0]), int(sidx[1])
+                        L = int(cvals[0][0])
+                        fresh_base[p_new] = base_of(L)
+                        incr_pairs.append((p_new, i))
+                        fresh_base[leaf] = (
+                            0.0, np.zeros((D,), np.float64),
+                            np.zeros((D,), np.float64),
+                        )
+                        incr_pairs.append((leaf, i))
+                        if shared_fringe:
+                            shared_splices.setdefault(
+                                int(cidx[1]), []).append((L, p_new))
+                    elif su == 1 and not dn:      # merge: cur inc + M base
+                        incr_pairs.append((int(sidx[0]), i))
+                        m = int(sidx[1])
+                        b1, b2 = int(cvals[1][0]), int(cvals[1][1])
+                        c1, mu1, m21 = (fresh_base[b1] if b1 in fresh_base
+                                        else base_of(b1))
+                        c2, mu2, m22 = (fresh_base[b2] if b2 in fresh_base
+                                        else base_of(b2))
+                        tot = c1 + c2
+                        d = mu2 - mu1
+                        fresh_base[m] = (
+                            tot,
+                            (c1 * mu1 + c2 * mu2) / tot,
+                            m21 + m22 + d * d * (c1 * c2 / tot),
+                        )
+                    elif is_new:                  # new leaf
+                        incr_pairs.append((int(sidx[0]), i))
+                        leaf = int(sidx[1])
+                        fresh_base[leaf] = (
+                            0.0, np.zeros((D,), np.float64),
+                            np.zeros((D,), np.float64),
+                        )
+                        incr_pairs.append((leaf, i))
+                        if shared_new:
+                            shared_appends.setdefault(
+                                int(cidx[0]), []).append(leaf)
+                    else:                          # best / absorb
+                        incr_pairs.append((int(sidx[0]), i))
+
+            # composed shared-parent rows (frozen base + splices + appends)
+            for P in set(shared_splices) | set(shared_appends):
+                row = g_children[lut[P]].copy().astype(np.int64)
+                n = int(g_nch[lut[P]])
+                for L, p_new in shared_splices.get(P, []):
+                    row[row == L] = p_new
+                for leaf in shared_appends.get(P, []):
+                    row[n] = leaf
+                    n += 1
+                row_final[P] = row
+                rown_final[P] = n
+
+            # ---- exact order-free stat aggregation ----
+            stat_rows: list[tuple] = []
+            contributed: set = set()
+            if incr_pairs:
+                nodes = np.asarray([p[0] for p in incr_pairs], np.int64)
+                insts = np.asarray([p[1] for p in incr_pairs], np.int64)
+                uniq, inv = np.unique(nodes, return_inverse=True)
+                T = len(uniq)
+                n_b = np.zeros((T,), np.float64)
+                s_b = np.zeros((T, D), np.float64)
+                q_b = np.zeros((T, D), np.float64)
+                xv = cx[insts].astype(np.float64)
+                np.add.at(n_b, inv, 1.0)
+                np.add.at(s_b, inv, xv)
+                np.add.at(q_b, inv, xv * xv)
+                mean_b = s_b / n_b[:, None]
+                m2_b = q_b - n_b[:, None] * mean_b ** 2
+                m2_b = np.maximum(m2_b, 0.0)
+                for j, node in enumerate(uniq):
+                    node = int(node)
+                    contributed.add(node)
+                    if node in fresh_base:
+                        c0, mu0, m20 = fresh_base[node]
+                    else:
+                        c0, mu0, m20 = base_of(node)
+                    tot = c0 + n_b[j]
+                    if c0 > 0:
+                        d = mean_b[j] - mu0
+                        m2 = m20 + m2_b[j] + d * d * (c0 * n_b[j] / tot)
+                        mu = (c0 * mu0 + n_b[j] * mean_b[j]) / tot
+                    else:
+                        mu, m2 = mean_b[j], m2_b[j]
+                    stat_rows.append((node, tot, mu, m2))
+            # fresh nodes that never received an increment (merge nodes the
+            # creator immediately split, etc.) still need their base written
+            for node, (c0, mu0, m20) in fresh_base.items():
+                if node not in contributed:
+                    stat_rows.append((node, c0, mu0, m20))
+
+            # ---- device apply ----
+            sidx = np.asarray([r[0] for r in stat_rows], np.int32)
+            scount = np.asarray([r[1] for r in stat_rows], np.float32)
+            smean = np.stack([r[2] for r in stat_rows]).astype(np.float32)
+            sm2 = np.stack([r[3] for r in stat_rows]).astype(np.float32)
+            cidx_a = np.asarray(list(row_final), np.int32)
+            cvals_a = (np.stack([row_final[int(n)] for n in cidx_a])
+                       .astype(np.int32) if len(cidx_a)
+                       else np.zeros((0, F), np.int32))
+            cn_a = (np.asarray([rown_final[int(n)] for n in cidx_a],
+                               np.int32) if len(cidx_a)
+                    else np.zeros((0,), np.int32))
+            pidx_a = np.asarray(list(par_final), np.int32)
+            pval_a = (np.asarray([par_final[int(n)] for n in pidx_a],
+                                 np.int32) if len(pidx_a)
+                      else np.zeros((0,), np.int32))
+            fr = np.asarray(freed_all, np.int32)
+
+            bs, bc = _bucket(len(sidx)), _bucket(len(cidx_a), lo=16)
+            bp, bf = _bucket(len(pidx_a), lo=16), _bucket(len(fr), lo=16)
             tree.state = _apply_bulk(
                 tree.state,
-                jnp.asarray(_pad_i32(sidx, bs)),
-                jnp.asarray(_pad_i32(scount, bs, 0.0)),
-                jnp.asarray(_pad_i32(smean, bs, 0.0)),
-                jnp.asarray(_pad_i32(sm2, bs, 0.0)),
-                jnp.asarray(_pad_i32(cidx, bc)),
-                jnp.asarray(_pad_i32(cvals, bc)),
-                jnp.asarray(_pad_i32(cn, bc, 0)),
-                jnp.asarray(_pad_i32(pidx, bp)),
-                jnp.asarray(_pad_i32(pval, bp)),
+                jnp.asarray(_pad(sidx, bs, -1)),
+                jnp.asarray(_pad(scount, bs, 0.0)),
+                jnp.asarray(_pad(smean, bs, 0.0)),
+                jnp.asarray(_pad(sm2, bs, 0.0)),
+                jnp.asarray(_pad(cidx_a, bc, -1)),
+                jnp.asarray(_pad(cvals_a, bc, -1)),
+                jnp.asarray(_pad(cn_a, bc, 0)),
+                jnp.asarray(_pad(pidx_a, bp, -1)),
+                jnp.asarray(_pad(pval_a, bp, -1)),
+                jnp.asarray(_pad(fr, bf, -1)),
+                jnp.asarray(len(fr), jnp.int32),
                 jnp.asarray(n_new, jnp.int32),
+                jnp.asarray(new_root, jnp.int32),
             )
-        tree.n_inserted += int((~fallback).sum())
+            tree.n_inserted += int(accepted.sum())
+            for i in range(M):
+                if accepted[i]:
+                    leaves_out[s0 + i] = int(
+                        remap(np.asarray([leaves[i]]), i)[0]
+                    )
 
-        # ---- exact fallback for conflicted / structural instances ----
+        # ---- exact fallback for conflicted instances ----
         if fallback.any():
             fb = np.where(fallback)[0]
             fb_leaves = tree.fit(cx[fb])
-            leaf_of[fb] = fb_leaves
-        leaves_out[s0:s0 + M] = leaf_of
+            leaves_out[s0 + fb] = fb_leaves
     return leaves_out

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rag_cobweb_tpu.core.config import TreeConfig
 from rag_cobweb_tpu.core.tree import CobwebTree
 from rag_cobweb_tpu.ops.gaussian import (
     batched_node_log_probs,

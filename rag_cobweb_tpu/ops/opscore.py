@@ -24,12 +24,10 @@ from rag_cobweb_tpu.core.config import TreeConfig
 from rag_cobweb_tpu.ops.gaussian import (
     GaussStats,
     compute_score,
-    compute_var,
     insert_mean_var,
     merge_mean_var,
     new_mean_var,
     stats_mean_var,
-    welford_insert,
 )
 
 # Operation codes (dispatch targets of the descent loop).

@@ -35,6 +35,8 @@ def main():
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--beam-width", type=int, default=128)
     p.add_argument("--chunk", type=int, default=2048)
+    p.add_argument("--fast-build", action="store_true",
+                   help="insert via the frozen-epoch bulk path")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -69,7 +71,8 @@ def main():
         t0 = time.perf_counter()
         while inserted < size:
             n = min(args.chunk, size - inserted)
-            db.add_sentences([None] * n, corpus_w[inserted:inserted + n])
+            db.add_sentences([None] * n, corpus_w[inserted:inserted + n],
+                             fast_build=args.fast_build)
             inserted += n
         dt = time.perf_counter() - t0
         rate = (size - (results[-1]["size"] if results else 0)) / dt
@@ -106,9 +109,10 @@ def main():
             ("flat_exact", lambda qb, k: flat.search(qb, k),
              data.query_embs[mask], gold),
         ]
-        if native.available():
+        if native.available() and size <= 200_000:
             # HNSW on the whitened (low-dim) vectors — the reference's
-            # "HNSW PCA+ICA" configuration, and 6x cheaper per distance
+            # "HNSW PCA+ICA" configuration, and 6x cheaper per distance.
+            # (single-core build; skipped at the largest sizes)
             hnsw = native.make_native_hnsw_retriever(corpus_w[:size], ef=100)
             evals.append(("hnsw_cpp", hnsw, q, gold))
         for name, fn, qq, gg in evals:

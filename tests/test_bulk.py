@@ -104,3 +104,45 @@ def test_bulk_matches_exact_stats_for_chunk_of_one():
     st = a._host_arrays()
     assert float(st.counts[int(st.root)]) == len(xs)
     check_invariants(a)
+
+
+def test_bulk_stress_mixed_structure():
+    """Heavier stress: many chunks over mixed clustered+uniform data; full
+    structural invariants + free-list sanity after merge/split composition."""
+    rng = np.random.default_rng(7)
+    a = clustered(rng, n_clusters=8, per=30, dim=10, spread=0.3)
+    b = rng.normal(size=(160, 10)).astype(np.float32) * 2.0
+    xs = np.concatenate([a, b])[rng.permutation(400)]
+    tree = CobwebTree(TreeConfig(dim=10), capacity=8192, seed=0)
+    tree.fit(xs[:40])
+    leaves = bulk_insert(tree, xs[40:], chunk=64)
+    assert (leaves >= 0).all()
+    st = tree._host_arrays()
+    assert float(st.counts[int(st.root)]) == 400
+    live = check_invariants(tree)
+    # freed nodes must not be reachable
+    free_top = int(st.free_top)
+    freed = set(int(x) for x in st.free_stack[:free_top])
+    assert not (freed & live), freed & live
+    # every live non-root node has a valid parent in the live set
+    for n in live:
+        p = int(st.parent[n])
+        if n != int(st.root):
+            assert p in live
+
+
+def test_bulk_then_query_quality():
+    rng = np.random.default_rng(8)
+    xs = clustered(rng, n_clusters=10, per=60, dim=16)
+    t2 = CobwebTree(TreeConfig(dim=16), capacity=8192, seed=0)
+    l0 = t2.fit(xs[:64])
+    l1b = bulk_insert(t2, xs[64:], chunk=256)
+    leaves_all = np.concatenate([l0.astype(np.int64), l1b])
+    import jax.numpy as jnp
+    idx = index_mod.build_index(t2, leaves_all.astype(np.int32))
+    qs = xs[::10] + 0.05 * rng.normal(size=(60, 16)).astype(np.float32)
+    _, top = index_mod.query_topk(idx, jnp.asarray(qs), 10)
+    gold = np.arange(0, 600, 10)
+    rec = np.mean([1.0 if gold[i] in np.asarray(top)[i] else 0.0
+                   for i in range(60)])
+    assert rec > 0.85, rec
