@@ -52,32 +52,61 @@ def _pad(a: np.ndarray, size: int, fill) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
 def _collect_chunk(st: TreeState, xs, keys, cfg: TreeConfig,
-                   max_steps: int = 24):
+                   max_steps: int = 16):
     """vmapped deferred descent against frozen state with bump-only slot
     allocation (free_top forced to 0, so every instance draws the same
     deterministic virtual id sequence n_alloc0, n_alloc0+1, ... — remapped
-    per instance on the host)."""
+    per instance on the host).
+
+    All small delta fields are packed into ONE int32 buffer so the host
+    pulls a single array over the (high-latency) device link.
+    """
     st0 = st._replace(free_top=jnp.zeros((), jnp.int32))
+    F = st.fanout
 
     def one(x, k):
         dbuf, steps, leaf = tree_mod._descend_collect(
             st0, x, k, cfg, max_steps=max_steps
         )
-        small = {
-            "stat_idx": dbuf.stat_idx,       # (S, 3)
-            "crow_idx": dbuf.crow_idx,       # (S, 3)
-            "crow_vals": dbuf.crow_vals,     # (S, 3, F)
-            "crow_n": dbuf.crow_n,           # (S, 3)
-            "par_idx": dbuf.par_idx,         # (S, F+3)
-            "par_val": dbuf.par_val,
-            "free_node": dbuf.free_node,     # (S,)
-            "slots_used": dbuf.slots_used,   # (S,)
-            "done": dbuf.done,               # (S,)
-            "root": dbuf.root,               # (S,)
-        }
-        return small, steps, leaf
+        packed = jnp.concatenate([
+            dbuf.stat_idx,                                 # 3
+            dbuf.crow_idx,                                 # 3
+            dbuf.crow_vals.reshape(max_steps, 3 * F),      # 3F
+            dbuf.crow_n,                                   # 3
+            dbuf.par_idx,                                  # F+3
+            dbuf.par_val,                                  # F+3
+            dbuf.free_node[:, None],                       # 1
+            dbuf.slots_used[:, None],                      # 1
+            dbuf.done[:, None].astype(jnp.int32),          # 1
+            dbuf.root[:, None],                            # 1
+        ], axis=1)
+        return packed, steps, leaf
 
     return jax.vmap(one)(xs, keys)
+
+
+def _unpack(packed: np.ndarray, F: int) -> dict:
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = packed[..., o:o + n]
+        o += n
+        return out
+
+    return {
+        "stat_idx": take(3),
+        "crow_idx": take(3),
+        "crow_vals": take(3 * F).reshape(packed.shape[0], packed.shape[1],
+                                         3, F),
+        "crow_n": take(3),
+        "par_idx": take(F + 3),
+        "par_val": take(F + 3),
+        "free_node": take(1)[..., 0],
+        "slots_used": take(1)[..., 0],
+        "done": take(1)[..., 0].astype(bool),
+        "root": take(1)[..., 0],
+    }
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -118,7 +147,7 @@ def _apply_bulk(st: TreeState, stat_idx, stat_count, stat_mean, stat_m2,
 
 
 def bulk_insert(tree, xs: np.ndarray, chunk: int = 2048,
-                max_steps: int = 24) -> np.ndarray:
+                max_steps: int = 16) -> np.ndarray:
     """Insert ``xs`` in frozen-epoch chunks.  Returns leaf ids per instance.
 
     ``tree`` is a core.tree.CobwebTree; conflicted or over-deep instances
@@ -134,10 +163,10 @@ def bulk_insert(tree, xs: np.ndarray, chunk: int = 2048,
         M = len(cx)
         tree._ensure_capacity(2 * M)
         keys = tree._next_keys(M)
-        small, steps, leaves = _collect_chunk(
+        packed, steps, leaves = _collect_chunk(
             tree.state, jnp.asarray(cx), keys, cfg, max_steps=max_steps
         )
-        small = {k: np.asarray(v) for k, v in small.items()}
+        small = _unpack(np.asarray(packed), F)   # ONE device->host pull
         steps = np.asarray(steps)
         leaves = np.asarray(leaves)
         n_alloc0 = int(np.asarray(tree.state.n_alloc))
@@ -152,6 +181,11 @@ def bulk_insert(tree, xs: np.ndarray, chunk: int = 2048,
             """virtual fresh ids (>= n_alloc0) -> this instance's global ids"""
             v = np.asarray(v)
             return np.where(v >= n_alloc0, v + offsets[i], v)
+
+        def remap_all(arr):
+            """vectorized remap over a (M, S, ...) field."""
+            off = offsets.reshape((M,) + (1,) * (arr.ndim - 1))
+            return np.where(arr >= n_alloc0, arr + off, arr)
 
         def exist(n):
             return 0 <= n < n_alloc0
@@ -277,30 +311,37 @@ def bulk_insert(tree, xs: np.ndarray, chunk: int = 2048,
             freed_all: list[int] = []
             new_root = -1
             D = cx.shape[1]
+            stat_g = remap_all(small["stat_idx"])
+            free_g = remap_all(small["free_node"])
+            cidx_g = remap_all(small["crow_idx"])
+            cvals_g = remap_all(small["crow_vals"])
+            pidx_g = remap_all(small["par_idx"])
+            pval_g = remap_all(small["par_val"])
+            root_g = remap_all(small["root"])
             for i in range(M):
                 if not accepted[i]:
                     continue
                 rec = recs[i]
+                append_steps = {tt for _, tt in rec["append"]}
+                splice_steps = {tt for _, tt in rec["splice"]}
                 n_steps = int(steps[i])
                 for t in range(n_steps):
                     su = int(slots_used[i, t])
                     dn = bool(done[i, t])
                     fn = int(free_node[i, t])
-                    sidx = remap(small["stat_idx"][i, t], i)
-                    cidx = remap(small["crow_idx"][i, t], i)
-                    cvals = remap(small["crow_vals"][i, t], i)
+                    sidx = stat_g[i, t]
+                    cidx = cidx_g[i, t]
+                    cvals = cvals_g[i, t]
                     cn = small["crow_n"][i, t]
-                    pidx = remap(small["par_idx"][i, t], i)
-                    pval = remap(small["par_val"][i, t], i)
-                    rt = int(small["root"][i, t])
+                    pidx = pidx_g[i, t]
+                    pval = pval_g[i, t]
+                    rt = int(root_g[i, t])
                     if rt >= 0:
-                        new_root = int(remap(np.asarray([rt]), i)[0])
+                        new_root = rt
                     is_new = su == 1 and dn and fn < 0
                     is_fringe = su == 2
-                    shared_new = is_new and (int(cidx[0]), t) in [
-                        (p, tt) for p, tt in rec["append"]]
-                    shared_fringe = is_fringe and (int(cidx[1]), t) in [
-                        (p, tt) for p, tt in rec["splice"]]
+                    shared_new = is_new and t in append_steps
+                    shared_fringe = is_fringe and t in splice_steps
                     for j in range(3):
                         if cidx[j] < 0:
                             continue
@@ -314,7 +355,7 @@ def bulk_insert(tree, xs: np.ndarray, chunk: int = 2048,
                         if pidx[j] >= 0:
                             par_final[int(pidx[j])] = int(pval[j])
                     if fn >= 0:                   # split: no stat writes
-                        freed_all.append(fn)
+                        freed_all.append(int(free_g[i, t]))
                         continue
                     if is_fringe:                 # fringe: p_new + leaf
                         p_new, leaf = int(sidx[0]), int(sidx[1])
@@ -446,11 +487,9 @@ def bulk_insert(tree, xs: np.ndarray, chunk: int = 2048,
                 jnp.asarray(new_root, jnp.int32),
             )
             tree.n_inserted += int(accepted.sum())
-            for i in range(M):
-                if accepted[i]:
-                    leaves_out[s0 + i] = int(
-                        remap(np.asarray([leaves[i]]), i)[0]
-                    )
+            leaves_g = np.where(leaves >= n_alloc0, leaves + offsets,
+                                leaves)
+            leaves_out[s0:s0 + M][accepted] = leaves_g[accepted]
 
         # ---- exact fallback for conflicted instances ----
         if fallback.any():
