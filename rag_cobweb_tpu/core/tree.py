@@ -460,12 +460,62 @@ class _DeferredCarry(NamedTuple):
     dbuf: Delta                 # leading (max_steps,) axis on every field
 
 
+def _descend_step(st: TreeState, c, x, key, cfg: TreeConfig):
+    """One descent decision from the carried view.  Returns (delta, next
+    small carry minus the delta buffer) — shared by the while_loop and scan
+    drivers below."""
+    F = st.fanout
+    step_key = jax.random.fold_in(key, c.steps)
+    slots = _peek_slots_virtual(st.free_stack, c.vfree_top, c.vn_alloc)
+    is_leaf = c.view.n == 0
+    # compute BOTH cases and select the small outputs: a lax.cond with a
+    # (vmapped) batched predicate would broadcast every closed-over
+    # constant — including the full state arrays — to one copy per lane
+    d_leaf, nv_leaf = _decide_leaf(c.view, x, slots, cfg, F)
+    d_int, nv_int = _decide_internal(st, c.view, x, slots, step_key, cfg)
+
+    def pick(a, b):
+        cond = jnp.reshape(is_leaf, (1,) * a.ndim) if a.ndim else is_leaf
+        return jnp.where(cond, a, b)
+
+    d = jax.tree.map(pick, d_leaf, d_int)
+    nv = jax.tree.map(pick, nv_leaf, nv_int)
+    from_free = jnp.minimum(d.slots_used, c.vfree_top)
+    d = d._replace(slots_from_free=from_free)
+    next_view = jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(nv.from_state, (1,) * a.ndim), a, b
+        ) if a.ndim else jnp.where(nv.from_state, a, b),
+        _view_from_state(st, d.next_current)._replace(
+            parent=nv.view.parent, prev_row=nv.view.prev_row,
+            prev_n=nv.view.prev_n,
+        ),
+        nv.view,
+    )
+    next_c = c._replace(
+        view=next_view,
+        vfree_top=c.vfree_top - from_free,
+        vn_alloc=c.vn_alloc + (d.slots_used - from_free),
+        done=d.done,
+        leaf=jnp.where(d.done, d.leaf, c.leaf),
+        steps=c.steps + 1,
+    )
+    return d, next_c
+
+
+def _init_small_carry(st: TreeState) -> "_DeferredCarry":
+    return _DeferredCarry(
+        view=_view_from_state(st, st.root), vfree_top=st.free_top,
+        vn_alloc=st.n_alloc, done=jnp.bool_(False), leaf=NULL,
+        steps=jnp.zeros((), jnp.int32), dbuf=None,
+    )
+
+
 def _descend_collect(st: TreeState, x: jnp.ndarray, key: jax.Array,
                      cfg: TreeConfig, max_steps: int = 48):
     """The read-only half of an insert: run the descent against a frozen
     state, carrying the current node's truth in a small _View, and record
-    every step's Delta in a fixed buffer.  Safe to ``vmap`` over stacked
-    trees (the state is only read; the loop carry is a few KB).
+    every step's Delta in a fixed buffer.
     Returns (delta buffer, steps used, leaf idx)."""
     F, dim = st.fanout, st.means.shape[1]
 
@@ -473,47 +523,13 @@ def _descend_collect(st: TreeState, x: jnp.ndarray, key: jax.Array,
         return (~c.done) & (c.steps < max_steps)
 
     def body(c: _DeferredCarry):
-        step_key = jax.random.fold_in(key, c.steps)
-        slots = _peek_slots_virtual(st.free_stack, c.vfree_top, c.vn_alloc)
-        is_leaf = c.view.n == 0
-        # compute BOTH cases and select the small outputs: a lax.cond with a
-        # (vmapped) batched predicate would broadcast every closed-over
-        # constant — including the full state arrays — to one copy per lane
-        d_leaf, nv_leaf = _decide_leaf(c.view, x, slots, cfg, F)
-        d_int, nv_int = _decide_internal(st, c.view, x, slots, step_key, cfg)
-
-        def pick(a, b):
-            cond = jnp.reshape(is_leaf, (1,) * a.ndim) if a.ndim else is_leaf
-            return jnp.where(cond, a, b)
-
-        d = jax.tree.map(pick, d_leaf, d_int)
-        nv = jax.tree.map(pick, nv_leaf, nv_int)
-        from_free = jnp.minimum(d.slots_used, c.vfree_top)
-        d = d._replace(slots_from_free=from_free)
+        d, next_c = _descend_step(st, c, x, key, cfg)
         dbuf = jax.tree.map(
             lambda buf, v: jax.lax.dynamic_update_index_in_dim(
                 buf, v, c.steps, 0),
             c.dbuf, d,
         )
-        next_view = jax.tree.map(
-            lambda a, b: jnp.where(
-                jnp.reshape(nv.from_state, (1,) * a.ndim), a, b
-            ) if a.ndim else jnp.where(nv.from_state, a, b),
-            _view_from_state(st, d.next_current)._replace(
-                parent=nv.view.parent, prev_row=nv.view.prev_row,
-                prev_n=nv.view.prev_n,
-            ),
-            nv.view,
-        )
-        return _DeferredCarry(
-            view=next_view,
-            vfree_top=c.vfree_top - from_free,
-            vn_alloc=c.vn_alloc + (d.slots_used - from_free),
-            done=d.done,
-            leaf=jnp.where(d.done, d.leaf, c.leaf),
-            steps=c.steps + 1,
-            dbuf=dbuf,
-        )
+        return next_c._replace(dbuf=dbuf)
 
     # pad steps must stay NO-OP deltas (all index fields -1): broadcast the
     # empty delta, never zeros (index 0 would clobber the root on replay)
@@ -522,14 +538,41 @@ def _descend_collect(st: TreeState, x: jnp.ndarray, key: jax.Array,
         lambda v: jnp.broadcast_to(v, (max_steps,) + v.shape).copy(),
         zero_delta,
     )
-    root_view = _view_from_state(st, st.root)
-    init = _DeferredCarry(
-        view=root_view, vfree_top=st.free_top, vn_alloc=st.n_alloc,
-        done=jnp.bool_(False), leaf=NULL,
-        steps=jnp.zeros((), jnp.int32), dbuf=dbuf0,
-    )
+    init = _init_small_carry(st)._replace(dbuf=dbuf0)
     out = jax.lax.while_loop(cond, body, init)
     return out.dbuf, out.steps, out.leaf
+
+
+def _descend_collect_scan(st: TreeState, x: jnp.ndarray, key: jax.Array,
+                          cfg: TreeConfig, max_steps: int = 16):
+    """Scan-structured variant of ``_descend_collect`` for BATCHED use.
+
+    Under ``vmap``, the while_loop version's per-lane
+    ``dynamic_update_index_in_dim`` into the delta buffer lowers to TPU
+    scatters — measured ~40x slower than the decide math itself.  Lanes
+    advance in lockstep, so a ``lax.scan`` over a static step index stacks
+    each step's delta natively (no scatter); finished lanes emit the no-op
+    empty delta.  Always runs ``max_steps`` iterations — use small
+    ``max_steps`` and route over-deep descents to the exact path.
+    """
+    F, dim = st.fanout, st.means.shape[1]
+    empty = _empty_delta(NULL, dim, F)
+
+    def body(c: _DeferredCarry, _):
+        frozen = c.done
+        d, next_c = _descend_step(st, c, x, key, cfg)
+
+        def pick(a, b):
+            cond = jnp.reshape(frozen, (1,) * a.ndim) if a.ndim else frozen
+            return jnp.where(cond, a, b)
+
+        emit = jax.tree.map(pick, empty, d)
+        keep = jax.tree.map(pick, c, next_c)
+        return keep, emit
+
+    out, dbuf = jax.lax.scan(body, _init_small_carry(st), None,
+                             length=max_steps)
+    return dbuf, out.steps, out.leaf
 
 
 def _alloc_bookkeeping(st: TreeState, dbuf: Delta, steps) -> TreeState:
@@ -556,16 +599,67 @@ def _alloc_bookkeeping(st: TreeState, dbuf: Delta, steps) -> TreeState:
     )
 
 
+def _apply_dbuf_batched(st: TreeState, dbuf: Delta, steps) -> TreeState:
+    """Replay a whole delta buffer in ONE scatter pass per array family.
+
+    Sequential replay (fori of ``_apply_delta_data``) issues ~6 small
+    scatters per step — the per-op dispatch overhead dominates the insert
+    path.  Replay order only matters for *duplicate* targets (a later step
+    rewriting the same row), so a last-writer-wins dedupe over the tiny
+    (steps x slots) index sets reproduces it exactly with ~6 scatters
+    total.  Equivalent to the ordered replay by construction; structural
+    parity with the oracle is asserted in tests/test_tree.py.
+    """
+    S = dbuf.slots_used.shape[0]
+    cap = st.counts.shape[0]
+    step_ok = jnp.arange(S) < steps
+
+    def last_wins(idx2d, ok2d):
+        """Flatten (S, K) targets in replay order; mask duplicates that a
+        later write supersedes.  Returns flat scatter targets (cap = drop).
+        """
+        flat = jnp.where(ok2d, idx2d, -1).reshape(-1)
+        n = flat.shape[0]
+        pos = jnp.arange(n)
+        later = (flat[None, :] == flat[:, None]) \
+            & (pos[None, :] > pos[:, None]) & (flat[:, None] >= 0)
+        dead = later.any(axis=1)
+        return jnp.where((flat >= 0) & ~dead, flat, cap)
+
+    ok = step_ok[:, None]
+    si = last_wins(dbuf.stat_idx, ok)
+    st = st._replace(
+        counts=st.counts.at[si].set(dbuf.stat_count.reshape(-1),
+                                    mode="drop"),
+        means=st.means.at[si].set(
+            dbuf.stat_mean.reshape(3 * S, -1), mode="drop"),
+        m2s=st.m2s.at[si].set(
+            dbuf.stat_m2.reshape(3 * S, -1), mode="drop"),
+    )
+    ci = last_wins(dbuf.crow_idx, ok)
+    st = st._replace(
+        children=st.children.at[ci].set(
+            dbuf.crow_vals.reshape(3 * S, -1), mode="drop"),
+        n_children=st.n_children.at[ci].set(
+            dbuf.crow_n.reshape(-1), mode="drop"),
+    )
+    pi = last_wins(dbuf.par_idx, ok)
+    st = st._replace(
+        parent=st.parent.at[pi].set(dbuf.par_val.reshape(-1), mode="drop"),
+    )
+    r = jnp.where(step_ok & (dbuf.root >= 0), dbuf.root, -1)
+    rpos = jnp.where(r >= 0, jnp.arange(S), -1)
+    j = jnp.argmax(rpos)
+    return st._replace(root=jnp.where(rpos[j] >= 0, r[j], st.root))
+
+
 def _insert_one(st: TreeState, x: jnp.ndarray, key: jax.Array,
                 cfg: TreeConfig, max_steps: int = 48):
     """One full descent (reference ifit/cobweb): collect deltas against the
-    frozen state, then replay them in order.  Returns (state, leaf_idx)."""
+    frozen state, then replay them in order (batched last-writer-wins
+    scatter pass).  Returns (state, leaf_idx)."""
     dbuf, steps, leaf = _descend_collect(st, x, key, cfg, max_steps)
-
-    def replay(t, st):
-        return _apply_delta_data(st, jax.tree.map(lambda b: b[t], dbuf))
-
-    st = jax.lax.fori_loop(0, steps, replay, st)
+    st = _apply_dbuf_batched(st, dbuf, steps)
     return _alloc_bookkeeping(st, dbuf, steps), leaf
 
 

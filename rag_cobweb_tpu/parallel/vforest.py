@@ -33,33 +33,44 @@ from rag_cobweb_tpu.ops.gaussian import batched_node_log_probs
 from rag_cobweb_tpu.parallel.forest import StackedIndex, build_stacked_index
 
 
-def _vinsert_round(st, xs_r, keys_r, cfg: TreeConfig):
-    """One vmapped round: every lane runs the read-only descent against the
-    frozen stacked state (vmap-cheap: the big arrays are only read), then
-    the recorded deltas replay with a SCALAR trip count (max steps over
-    lanes) so the big state never gets per-lane done-masking selects."""
+_MAX_STEPS = 16  # scan trip count; descents needing more retry exactly
+
+
+def _vinsert_round(st, xs_r, keys_r, cfg: TreeConfig,
+                   mask: Optional[jnp.ndarray] = None):
+    """One vmapped round: every lane runs the scan-structured read-only
+    descent against the frozen stacked state (core/tree.py
+    ``_descend_collect_scan`` — no per-lane scatters), then ALL lanes'
+    deltas replay in one batched last-writer-wins scatter pass
+    (``_apply_dbuf_batched``).  Lanes whose descent did not finish within
+    the scan budget (leaf == -1) are suppressed entirely — the caller
+    retries them through the exact path."""
     dbufs, steps, leaves = jax.vmap(
-        lambda s, x, k: tree_mod._descend_collect(s, x, k, cfg)
+        lambda s, x, k: tree_mod._descend_collect_scan(
+            s, x, k, cfg, max_steps=_MAX_STEPS)
     )(st, xs_r, keys_r)
-
-    def replay(t, st):
-        d_t = jax.tree.map(lambda b: b[:, t], dbufs)   # (K, ...) step t
-        return jax.vmap(tree_mod._apply_delta_data)(st, d_t)
-
-    st = jax.lax.fori_loop(0, jnp.max(steps), replay, st)
+    ok = leaves >= 0
+    if mask is not None:
+        ok = ok & mask
+    steps = jnp.where(ok, steps, 0)   # suppressed lanes replay nothing
+    st = jax.vmap(tree_mod._apply_dbuf_batched)(st, dbufs, steps)
     st = jax.vmap(tree_mod._alloc_bookkeeping)(st, dbufs, steps)
-    return st, leaves
+    return st, jnp.where(ok, leaves, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def vinsert_rounds(st, xs: jnp.ndarray, keys: jax.Array, cfg: TreeConfig):
-    """Insert xs[:, r] into subtree lane k for every full round r.
+def vinsert_rounds(st, xs: jnp.ndarray, keys: jax.Array, cfg: TreeConfig,
+                   n_rounds=None):
+    """Insert xs[:, r] into subtree lane k for round r < n_rounds.
 
     st: stacked TreeState (leading axis K); xs: (K, R, D); keys: (K, R, 2).
-    Every lane inserts exactly R instances (callers arrange full rounds).
-    Returns (state, leaf idx (K, R)).
+    ``n_rounds`` may be a traced scalar so callers can pad R to a bucketed
+    shape and reuse one compiled program across ragged adds.
+    Returns (state, leaf idx (K, R), -1 where a descent must be retried).
     """
     K, R, D = xs.shape
+    if n_rounds is None:
+        n_rounds = R
 
     def body(r, carry):
         st, leaves = carry
@@ -67,40 +78,26 @@ def vinsert_rounds(st, xs: jnp.ndarray, keys: jax.Array, cfg: TreeConfig):
         return st, leaves.at[:, r].set(leaf)
 
     leaves0 = jnp.full((K, R), -1, jnp.int32)
-    return jax.lax.fori_loop(0, R, body, (st, leaves0))
+    return jax.lax.fori_loop(0, jnp.minimum(n_rounds, R), body,
+                             (st, leaves0))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def vinsert_masked_round(st, xs: jnp.ndarray, keys: jax.Array,
                          mask: jnp.ndarray, cfg: TreeConfig):
-    """One round where only ``mask``ed lanes insert (the ragged remainder):
-    unmasked lanes' deltas are suppressed before replay, so no full-state
-    select is needed."""
-    dbufs, steps, leaves = jax.vmap(
-        lambda s, x, k: tree_mod._descend_collect(s, x, k, cfg)
-    )(st, xs, keys)
-    steps = jnp.where(mask, steps, 0)   # masked-out lanes replay nothing
+    """One round where only ``mask``ed lanes insert (the ragged
+    remainder)."""
+    return _vinsert_round(st, xs, keys, cfg, mask=mask)
 
-    def replay(t, st):
-        d_t = jax.tree.map(lambda b: b[:, t], dbufs)
-        # neutralize finished/masked lanes' deltas via their index fields
-        live = t < steps
 
-        def squash(v, name):
-            if name in ("stat_idx", "crow_idx", "par_idx", "root",
-                        "free_node"):
-                return jnp.where(live.reshape((-1,) + (1,) * (v.ndim - 1)),
-                                 v, -1)
-            return v
-
-        d_t = tree_mod.Delta(**{
-            k: squash(v, k) for k, v in d_t._asdict().items()
-        })
-        return jax.vmap(tree_mod._apply_delta_data)(st, d_t)
-
-    st = jax.lax.fori_loop(0, jnp.max(steps), replay, st)
-    st = jax.vmap(tree_mod._alloc_bookkeeping)(st, dbufs, steps)
-    return st, jnp.where(mask, leaves, -1)
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _insert_one_lane(st, lane, x, key, cfg: TreeConfig):
+    """Exact-path insert of one instance into one lane of the stacked
+    state (fallback for descents deeper than the scan budget)."""
+    lane_st = jax.tree.map(lambda a: a[lane], st)
+    lane_st, leaf = tree_mod._insert_one(lane_st, x, key, cfg)
+    st = jax.tree.map(lambda a, v: a.at[lane].set(v), st, lane_st)
+    return st, leaf
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -151,6 +148,31 @@ class VForest:
         ]
         self._stacked_index: Optional[StackedIndex] = None
 
+    def _ensure_capacity(self, rounds: int):
+        """Grow every lane's node arrays when the next rounds could
+        overflow (worst case 2 fresh nodes per insert per lane)."""
+        st = self.state
+        cap = st.counts.shape[1]
+        needed = int(jnp.max(st.n_alloc)) + 2 * rounds + 8
+        if needed <= cap:
+            return
+        new_cap = max(needed, 2 * cap)
+        pad = new_cap - cap
+        K, D, F = st.counts.shape[0], st.means.shape[2], st.children.shape[2]
+
+        def grow(a, fill):
+            shape = (K, pad) + a.shape[2:]
+            return jnp.concatenate(
+                [a, jnp.full(shape, fill, a.dtype)], axis=1)
+
+        self.state = st._replace(
+            counts=grow(st.counts, 0.0), means=grow(st.means, 0.0),
+            m2s=grow(st.m2s, 0.0), parent=grow(st.parent, -1),
+            children=grow(st.children, -1),
+            n_children=grow(st.n_children, 0),
+            free_stack=grow(st.free_stack, -1),
+        )
+
     def add(self, embeddings: np.ndarray) -> np.ndarray:
         """Round-robin insert; one vmapped round inserts K instances."""
         embeddings = np.asarray(embeddings, np.float32)
@@ -162,18 +184,38 @@ class VForest:
         # arrange per-lane streams; lanes may differ by at most 1 round
         per_lane = [embeddings[lane_of == s] for s in range(K)]
         R_full = min(len(p) for p in per_lane)
+        self._ensure_capacity(R_full + 1)
         self._key, sub = jax.random.split(self._key)
         all_keys = jax.random.split(sub, K * (R_full + 1)).reshape(
             K, R_full + 1, -1
         )
 
+        def retry(leaves, xs_kr, keys_kr, valid):
+            """Exact-path retry of descents the scan budget truncated."""
+            for s, r in np.argwhere((leaves < 0) & valid):
+                self.state, leaf = _insert_one_lane(
+                    self.state, jnp.asarray(int(s), jnp.int32),
+                    jnp.asarray(xs_kr[s, r]), keys_kr[s, r], self.cfg,
+                )
+                leaves[s, r] = int(leaf)
+
         leaves_by_lane = [[] for _ in range(K)]
         if R_full:
             xs = np.stack([p[:R_full] for p in per_lane])       # (K, R, D)
+            # pad rounds to a power-of-two bucket with a dynamic valid
+            # count so ragged adds reuse a handful of compiled programs
+            Rb = max(8, 1 << (R_full - 1).bit_length())
+            xs_p = np.zeros((K, Rb, xs.shape[2]), np.float32)
+            xs_p[:, :R_full] = xs
+            keys_p = np.zeros((K, Rb, all_keys.shape[2]), all_keys.dtype)
+            keys_p[:, :R_full] = np.asarray(all_keys[:, :R_full])
             self.state, leaves = vinsert_rounds(
-                self.state, jnp.asarray(xs), all_keys[:, :R_full], self.cfg
+                self.state, jnp.asarray(xs_p), jnp.asarray(keys_p),
+                self.cfg, jnp.asarray(R_full, jnp.int32),
             )
-            leaves = np.asarray(leaves)
+            leaves = np.asarray(leaves)[:, :R_full]
+            retry(leaves, xs, all_keys[:, :R_full],
+                  np.ones_like(leaves, bool))
             for s in range(K):
                 leaves_by_lane[s].extend(int(l) for l in leaves[s])
         rem_mask = np.asarray([len(p) > R_full for p in per_lane])
@@ -187,7 +229,10 @@ class VForest:
                 self.state, jnp.asarray(xs), all_keys[:, R_full],
                 jnp.asarray(rem_mask), self.cfg,
             )
-            leaf = np.asarray(leaf)
+            leaf = np.asarray(leaf)[:, None]
+            retry(leaf, xs[:, None], all_keys[:, R_full:R_full + 1],
+                  rem_mask[:, None])
+            leaf = leaf[:, 0]
             for s in range(K):
                 if rem_mask[s]:
                     leaves_by_lane[s].append(int(leaf[s]))

@@ -37,22 +37,49 @@ def test_vforest_insert_counts(data):
 
 
 def test_vforest_lane_equals_standalone_tree(data):
-    """Each vmapped lane must produce exactly the tree a standalone
-    CobwebTree builds from the same stream (same seed discipline aside,
-    structure statistics must match: counts, node totals)."""
-    vf = VForest(TreeConfig(dim=16), n_subtrees=4, capacity_per_tree=512,
-                 seed=0)
-    vf.add(data[:320])
-    st = jax.device_get(vf.state)
-    lane0_items = data[:320][np.arange(320) % 4 == 0]
-    solo = CobwebTree(TreeConfig(dim=16), capacity=512, seed=0)
-    solo.fit(lane0_items)
-    s_solo = solo.analyze_structure()
-    # same leaf count (structure may differ via RNG tie-breaks, which are
-    # measure-zero on this data; counts must match exactly)
-    root0 = int(st.root[0])
-    assert float(st.counts[0, root0]) == 80.0
-    assert s_solo["leaf_count"] == 80
+    """A vmapped lane IS the exact per-tree insert: driving the internal
+    ``vinsert_rounds`` with explicit keys must produce node-for-node the
+    same tree (ids, counts, stats, children order, leaf sequence) as the
+    sequential exact path (``insert_one_jit``) given the same keys."""
+    import jax.numpy as jnp
+    from rag_cobweb_tpu.core import tree as tree_mod
+    from rag_cobweb_tpu.parallel import vforest as vf_mod
+
+    K, R, D = 4, 80, 16
+    cfg = TreeConfig(dim=16)
+    xs = data[:K * R].reshape(R, K, D).transpose(1, 0, 2)  # lane k: data[k::K]
+    keys = jax.random.split(jax.random.PRNGKey(7), K * R).reshape(K, R, 2)
+    states = [tree_mod.init_state(512, D, cfg.max_fanout) for _ in range(K)]
+    st0 = jax.tree.map(lambda *a: jnp.stack(a), *states)
+    st, leaves = vf_mod.vinsert_rounds(st0, jnp.asarray(xs), keys, cfg)
+    leaves = np.asarray(leaves)
+    assert (leaves >= 0).all()
+    st = jax.device_get(st)
+
+    for lane in (0, 2):
+        solo = tree_mod.init_state(512, D, cfg.max_fanout)
+        for r in range(R):
+            solo, leaf = tree_mod.insert_one_jit(
+                solo, jnp.asarray(xs[lane, r]), keys[lane, r], cfg)
+            assert int(leaf) == leaves[lane, r], (lane, r)
+        solo = jax.device_get(solo)
+        assert int(solo.root) == int(st.root[lane])
+        assert int(solo.n_alloc) == int(st.n_alloc[lane])
+        stack = [int(solo.root)]
+        while stack:
+            n = stack.pop()
+            assert float(solo.counts[n]) == float(st.counts[lane, n])
+            np.testing.assert_allclose(solo.means[n], st.means[lane, n],
+                                       atol=1e-6)
+            np.testing.assert_allclose(solo.m2s[n], st.m2s[lane, n],
+                                       atol=1e-5)
+            nc = int(solo.n_children[n])
+            assert nc == int(st.n_children[lane, n])
+            for i in range(nc):
+                c = int(solo.children[n, i])
+                assert c == int(st.children[lane, n, i])
+                assert int(solo.parent[c]) == int(st.parent[lane, c]) == n
+                stack.append(c)
 
 
 def test_vforest_query_retrieves_own_points(data):
