@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--bulk", action="store_true",
                     help="build with the frozen-epoch bulk insert path")
+    ap.add_argument("--vforest", type=int, default=0, metavar="K",
+                    help="build a K-subtree forest (vmapped inserts, ~K× "
+                         "insert throughput; queries merge across lanes)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -69,11 +72,12 @@ def main():
         corpus=None, corpus_embeddings=corpus_w[:warm_n],
         config=TreeConfig(dim=corpus_w.shape[1]),
         capacity=4 * len(corpus_w) + 16,
+        n_subtrees=args.vforest or 1,
     )
     warm_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     if len(corpus_w) > warm_n:
-        if args.bulk:
+        if args.bulk and not args.vforest:
             from rag_cobweb_tpu.core.bulk import bulk_insert
             leaves = bulk_insert(db.tree, corpus_w[warm_n:])
             db.sentences.extend([None] * (len(corpus_w) - warm_n))
@@ -91,17 +95,27 @@ def main():
         f"steady-state {steady_rate:.0f} inserts/s)")
 
     db.build_prediction_index()
-    use_blocked = len(db) >= db.blocked_threshold
-    blocked = db._blocked_index() if use_blocked else None
+    if args.vforest:
+        from rag_cobweb_tpu.parallel.vforest import _vforest_query
+        fidx = db.forest.build_index()
 
-    def cobweb_retrieve(q, k):
-        import jax.numpy as jnp
-        from rag_cobweb_tpu.core import index as index_mod
-        if use_blocked:
-            _, ids = index_mod.blocked_query_topk(blocked, jnp.asarray(q), k)
-        else:
-            _, ids = index_mod.query_topk(db._index, jnp.asarray(q), k)
-        return ids  # device array: lets the evaluator pipeline batches
+        def cobweb_retrieve(q, k):
+            import jax.numpy as jnp
+            _, ids = _vforest_query(fidx, jnp.asarray(q), k)
+            return ids
+    else:
+        use_blocked = len(db) >= db.blocked_threshold
+        blocked = db._blocked_index() if use_blocked else None
+
+        def cobweb_retrieve(q, k):
+            import jax.numpy as jnp
+            from rag_cobweb_tpu.core import index as index_mod
+            if use_blocked:
+                _, ids = index_mod.blocked_query_topk(blocked,
+                                                      jnp.asarray(q), k)
+            else:
+                _, ids = index_mod.query_topk(db._index, jnp.asarray(q), k)
+            return ids  # device array: lets the evaluator pipeline batches
 
     res = evaluate_retrieval(
         "Cobweb PCA+ICA Fast (TPU)", cobweb_retrieve, queries_w,

@@ -80,23 +80,27 @@ def build_index(
     cfg = tree.cfg
 
     # --- BFS over live nodes -> compact numbering -------------------------
+    # Level-synchronous vectorized BFS: each level is ONE fancy-index gather
+    # of the children table (row-major ravel preserves the queue-BFS order:
+    # parents in frontier order, siblings in slot order), so the host work
+    # is O(max_depth) numpy ops instead of an O(N) Python loop — this is
+    # what keeps index refresh sub-second at 100k+ sentences.
     root = int(st.root)
-    order: list[int] = [root]
-    depth_of = {root: 0}
-    head = 0
-    while head < len(order):
-        n = order[head]
-        head += 1
-        for i in range(int(st.n_children[n])):
-            c = int(st.children[n, i])
-            depth_of[c] = depth_of[n] + 1
-            order.append(c)
-    order_arr = np.asarray(order, np.int32)
+    levels = [np.asarray([root], np.int32)]
+    while True:
+        kids = st.children[levels[-1]].ravel()
+        kids = kids[kids >= 0]
+        if kids.size == 0:
+            break
+        levels.append(kids.astype(np.int32))
+    order_arr = np.concatenate(levels)
     compact_of = np.full((st.counts.shape[0],), -1, np.int32)
-    compact_of[order_arr] = np.arange(len(order), dtype=np.int32)
+    compact_of[order_arr] = np.arange(len(order_arr), dtype=np.int32)
 
-    n_live = len(order)
-    depths = np.asarray([depth_of[n] for n in order], np.int32)
+    n_live = len(order_arr)
+    depths = np.concatenate([
+        np.full((len(l),), d, np.int32) for d, l in enumerate(levels)
+    ])
     max_depth = int(depths.max()) if n_live else 0
     P = max(1, -(-(max_depth + 1) // pad_depth_to) * pad_depth_to)
 

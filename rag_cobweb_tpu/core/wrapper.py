@@ -39,10 +39,17 @@ class CobwebIndex:
     def __init__(self, corpus=None, corpus_embeddings=None,
                  encode_func: Callable = _identity_encode,
                  config: Optional[TreeConfig] = None,
-                 capacity: Optional[int] = None, seed: int = 0):
+                 capacity: Optional[int] = None, seed: int = 0,
+                 n_subtrees: int = 1):
+        """``n_subtrees > 1`` selects forest mode: K independent subtrees on
+        one device with round-robin inserts running K-wide under ``vmap``
+        (parallel/vforest.py) — ~K× insert throughput; queries merge
+        across lanes by leaf log-probability.  Tree-shape introspection
+        (dump_json / print_tree / visualize) stays single-tree only."""
         self.encode_func = encode_func
         self.sentences: list = []
         self.leaf_of_sentence: list[int] = []
+        self.n_subtrees = int(n_subtrees)
 
         if corpus_embeddings is not None:
             corpus_embeddings = np.asarray(corpus_embeddings, np.float32)
@@ -62,7 +69,17 @@ class CobwebIndex:
             len(corpus) if corpus else 0
         )
         cap = capacity or max(1024, 4 * n0 + 16)
-        self.tree = CobwebTree(self.cfg, capacity=cap, seed=seed)
+        if self.n_subtrees > 1:
+            from rag_cobweb_tpu.parallel.vforest import VForest
+            self.tree = None
+            self.forest = VForest(
+                self.cfg, n_subtrees=self.n_subtrees,
+                capacity_per_tree=max(1024, cap // self.n_subtrees),
+                seed=seed,
+            )
+        else:
+            self.forest = None
+            self.tree = CobwebTree(self.cfg, capacity=cap, seed=seed)
 
         self._index: Optional[index_mod.PredictionIndex] = None
         self._blocked: Optional[index_mod.BlockedIndex] = None
@@ -104,13 +121,16 @@ class CobwebIndex:
             raise ValueError(
                 f"vector dim {new_vectors.shape[1]} != tree dim {self.cfg.dim}"
             )
-        if fast_build and len(new_vectors) > 256 and self.tree.n_inserted > 0:
+        if self.forest is not None:
+            leaves = self.forest.add(new_vectors)  # global sentence ids
+        elif fast_build and len(new_vectors) > 256 and self.tree.n_inserted > 0:
             from rag_cobweb_tpu.core.bulk import bulk_insert
             leaves = bulk_insert(self.tree, new_vectors, chunk=batch_size)
         else:
             leaves = self.tree.fit(new_vectors, batch_size=batch_size)
         self.sentences.extend(new_sentences)
-        self.leaf_of_sentence.extend(int(l) for l in leaves)
+        if self.forest is None:
+            self.leaf_of_sentence.extend(int(l) for l in leaves)
         self._invalidate_index()
         return leaves
 
@@ -122,6 +142,8 @@ class CobwebIndex:
         self._blocked = None
 
     def build_prediction_index(self) -> index_mod.PredictionIndex:
+        if self.forest is not None:
+            return self.forest.build_index()
         if self._index is None:
             lw = self._level_weights or list(index_mod.DEFAULT_LEVEL_WEIGHTS)
             self._index = index_mod.build_index(
@@ -156,6 +178,7 @@ class CobwebIndex:
     def get_node_path_stats(self, sentence_id: int):
         """Mean/var arrays for every node on a sentence's root->leaf path
         (reference :297-313)."""
+        self._require_single_tree("get_node_path_stats")
         idx = self.build_prediction_index()
         if not (0 <= sentence_id < len(self.sentences)):
             return None, None
@@ -195,9 +218,16 @@ class CobwebIndex:
         :428-433): one fused scoring+path-sum+top-k device computation,
         batch-first.  Above ``blocked_threshold`` sentences the gather-free
         blocked formulation (pure batched MXU matmuls) is used."""
-        idx = self.build_prediction_index()
         q, single = self._as_query_batch(input, is_embedding)
         kk = min(k, len(self.sentences))
+        if self.forest is not None:
+            _, top_ids = self.forest.query_topk(np.asarray(q), kk)
+            out = [
+                [i if return_ids else self.sentences[i] for i in row if i >= 0]
+                for row in np.asarray(top_ids).tolist()
+            ]
+            return out[0] if single else out
+        idx = self.build_prediction_index()
         if len(self.sentences) >= self.blocked_threshold and not tie_noise:
             _, top_ids = index_mod.blocked_query_topk(
                 self._blocked_index(), q, kk
@@ -221,8 +251,16 @@ class CobwebIndex:
                 beam_width: int = 64):
         """Tree-search prediction (reference cobweb_predict :435-461) as a
         batched beam search down the concept hierarchy."""
-        idx = self.build_prediction_index()
         q, single = self._as_query_batch(input, is_embedding)
+        if self.forest is not None:
+            sids = self.forest.beam_topk(np.asarray(q), k,
+                                         beam_width=beam_width)
+            out = [
+                [i if return_ids else self.sentences[i] for i in row if i >= 0]
+                for row in sids.tolist()
+            ]
+            return out[0] if single else out
+        idx = self.build_prediction_index()
         max_depth = max(self.max_depth, 1)
         _, leaf_nodes = index_mod.beam_search_topk(
             idx, q, k, beam_width=beam_width, max_depth=max_depth
@@ -240,9 +278,12 @@ class CobwebIndex:
         """Differentiable per-sentence scores (reference cobweb_rank_scores
         :267-294).  (B, D) -> (B, S); single input -> (S,).  Differentiable
         w.r.t. the query embedding — used as logits by training/query_train."""
-        idx = self.build_prediction_index()
         q, single = self._as_query_batch(input, is_embedding)
-        scores = index_mod.rank_scores(idx, q)
+        if self.forest is not None:
+            scores = self.forest.rank_scores(q)
+        else:
+            idx = self.build_prediction_index()
+            scores = index_mod.rank_scores(idx, q)
         return scores[0] if single else scores
 
     cobweb_rank_scores = rank_scores
@@ -279,7 +320,15 @@ class CobwebIndex:
     # ------------------------------------------------------------------ #
     # persistence (reference :484-555)                                   #
     # ------------------------------------------------------------------ #
+    def _require_single_tree(self, what: str):
+        if self.forest is not None:
+            raise ValueError(
+                f"{what} requires single-tree mode (n_subtrees=1); forest "
+                "mode persists via save()/load() (npz)"
+            )
+
     def dump_json(self, save_path: Optional[str] = None) -> str:
+        self._require_single_tree("dump_json")
         sids_by_leaf: dict[int, list[int]] = {}
         for sid, leaf in enumerate(self.leaf_of_sentence):
             sids_by_leaf.setdefault(leaf, []).append(sid)
@@ -304,6 +353,8 @@ class CobwebIndex:
         obj.sentences = data.get("sentences", [])
         obj.cfg = tree.cfg
         obj.tree = tree
+        obj.forest = None
+        obj.n_subtrees = 1
         leaf_of = np.full((len(obj.sentences),), -1, np.int64)
         for leaf, sids in leaf_sids.items():
             for sid in sids:
@@ -320,10 +371,9 @@ class CobwebIndex:
 
     def save(self, path: str):
         """Binary checkpoint (npz tree state + sentence bookkeeping) — the
-        scalable alternative to the reference-schema ``dump_json``."""
-        self.tree.save_npz(
-            path,
-            leaf_of_sentence=np.asarray(self.leaf_of_sentence, np.int64),
+        scalable alternative to the reference-schema ``dump_json``.  Works
+        in both single-tree and forest mode."""
+        extras = dict(
             sentences=np.asarray(
                 [s if s is not None else "" for s in self.sentences],
                 dtype=object,
@@ -332,15 +382,50 @@ class CobwebIndex:
                 [s is None for s in self.sentences], bool
             ),
         )
+        if self.forest is not None:
+            self.forest.save_npz(path, **extras)
+        else:
+            self.tree.save_npz(
+                path,
+                leaf_of_sentence=np.asarray(self.leaf_of_sentence, np.int64),
+                **extras,
+            )
 
     @staticmethod
     def load(path: str, encode_func: Callable = _identity_encode
              ) -> "CobwebIndex":
+        with np.load(path, allow_pickle=True) as probe:
+            is_forest = "__forest__" in probe.files
+        if is_forest:
+            from rag_cobweb_tpu.parallel.vforest import VForest
+            forest, extras = VForest.load_npz(path)
+            obj = CobwebIndex.__new__(CobwebIndex)
+            obj.encode_func = encode_func
+            obj.cfg = forest.cfg
+            obj.tree = None
+            obj.forest = forest
+            obj.n_subtrees = forest.K
+            is_none = extras["sentence_is_none"]
+            obj.sentences = [
+                None if none else str(s)
+                for s, none in zip(extras["sentences"], is_none)
+            ]
+            obj.leaf_of_sentence = []
+            obj._index = None
+            obj._blocked = None
+            obj.blocked_threshold = 8192
+            obj._level_weights = None
+            obj._weight_schedule = None
+            obj._schedule_params = {}
+            obj.max_depth = 0
+            return obj
         tree, extras = CobwebTree.load_npz(path)
         obj = CobwebIndex.__new__(CobwebIndex)
         obj.encode_func = encode_func
         obj.cfg = tree.cfg
         obj.tree = tree
+        obj.forest = None
+        obj.n_subtrees = 1
         is_none = extras["sentence_is_none"]
         obj.sentences = [
             None if none else str(s)
@@ -364,6 +449,7 @@ class CobwebIndex:
 
     def print_tree(self):
         """Recursive structure print (reference :463-482)."""
+        self._require_single_tree("print_tree")
         st = self.tree._host_arrays()
         sids_by_leaf: dict[int, list[int]] = {}
         for sid, leaf in enumerate(self.leaf_of_sentence):
@@ -385,6 +471,7 @@ class CobwebIndex:
 
     def visualize_subtrees(self, directory: str, num_leaves: int = 6):
         """Graphviz PNGs of grandparent subtrees (reference :563-694)."""
+        self._require_single_tree("visualize_subtrees")
         from rag_cobweb_tpu.utils.viz import visualize_grandparent_subtrees
 
         sids_by_leaf: dict[int, list[int]] = {}

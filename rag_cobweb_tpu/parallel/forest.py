@@ -53,6 +53,22 @@ class StackedIndex(NamedTuple):
     sentence_valid: jnp.ndarray  # (K, S) bool
     leaf_node: jnp.ndarray       # (K, S) compact node idx of the sentence leaf
     global_sid: jnp.ndarray      # (K, S) shard-local row -> global id, -1 pad
+    # beam-search arrays (per-lane compact numbering, same as PredictionIndex)
+    children: jnp.ndarray             # (K, N, F) compact child idx, -1 pad
+    leaf_sentence_start: jnp.ndarray  # (K, N)
+    leaf_sentence_count: jnp.ndarray  # (K, N)
+    sentence_order: jnp.ndarray       # (K, S) local sids grouped by leaf
+
+    def lane(self, s: int) -> "index_mod.PredictionIndex":
+        """The lane-local PredictionIndex view of shard ``s``."""
+        return index_mod.PredictionIndex(
+            inv_var_T=self.inv_var_T[s], mu_over_var_T=self.mu_over_var_T[s],
+            const=self.const[s], paths=self.paths[s],
+            path_weights=self.path_weights[s], children=self.children[s],
+            leaf_sentence_start=self.leaf_sentence_start[s],
+            leaf_sentence_count=self.leaf_sentence_count[s],
+            sentence_order=self.sentence_order[s],
+        )
 
 
 def build_stacked_index(cfg: TreeConfig, host_state: TreeState,
@@ -102,14 +118,26 @@ def build_stacked_index(cfg: TreeConfig, host_state: TreeState,
         for i in per_shard
     ])
     gsid = np.full((K, S), -1, np.int64)
-    for g in range(n_sentences):
-        gsid[shard_of[g], local_sid[g]] = g
+    if n_sentences:
+        gsid[np.asarray(shard_of[:n_sentences]),
+             np.asarray(local_sid[:n_sentences])] = np.arange(n_sentences)
+
+    F = max(i.children.shape[1] for i in per_shard)
+    kids = np.stack([pad(i.children, (N, F), -1) for i in per_shard])
+    lstart = np.stack([pad(i.leaf_sentence_start, (N,), -1)
+                       for i in per_shard])
+    lcount = np.stack([pad(i.leaf_sentence_count, (N,), 0)
+                       for i in per_shard])
+    sorder = np.stack([pad(i.sentence_order, (S,), 0) for i in per_shard])
 
     return StackedIndex(
         inv_var_T=jnp.asarray(inv), mu_over_var_T=jnp.asarray(mov),
         const=jnp.asarray(const), paths=jnp.asarray(paths),
         path_weights=jnp.asarray(pw), sentence_valid=jnp.asarray(valid),
         leaf_node=jnp.asarray(leaf_node), global_sid=jnp.asarray(gsid),
+        children=jnp.asarray(kids), leaf_sentence_start=jnp.asarray(lstart),
+        leaf_sentence_count=jnp.asarray(lcount),
+        sentence_order=jnp.asarray(sorder),
     )
 
 

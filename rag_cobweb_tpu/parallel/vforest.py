@@ -100,6 +100,95 @@ def _insert_one_lane(st, lane, x, key, cfg: TreeConfig):
     return st, leaf
 
 
+@functools.partial(jax.jit, static_argnames=("k", "beam_width", "max_depth"))
+def _vforest_beam(idx: StackedIndex, q: jnp.ndarray, k: int,
+                  beam_width: int, max_depth: int):
+    """Per-lane batched beam search (core/index.beam_search_topk vmapped
+    over the lane axis).  Returns (scores, leaf nodes) of shape (K, B, Wk);
+    scores are leaf log-probs — calibrated identically across lanes, so the
+    host merge can interleave lanes by score."""
+
+    def per_lane(inv, mov, const, paths, pw, children, lstart, lcount,
+                 sorder):
+        pidx = index_mod.PredictionIndex(
+            inv_var_T=inv, mu_over_var_T=mov, const=const, paths=paths,
+            path_weights=pw, children=children, leaf_sentence_start=lstart,
+            leaf_sentence_count=lcount, sentence_order=sorder,
+        )
+        return index_mod.beam_search_topk(
+            pidx, q, k, beam_width=beam_width, max_depth=max_depth
+        )
+
+    return jax.vmap(per_lane)(
+        idx.inv_var_T, idx.mu_over_var_T, idx.const, idx.paths,
+        idx.path_weights, idx.children, idx.leaf_sentence_start,
+        idx.leaf_sentence_count, idx.sentence_order,
+    )
+
+
+def vforest_beam_topk(idx: StackedIndex, q: jnp.ndarray, k: int,
+                      beam_width: int = 32, max_depth: int = 16
+                      ) -> np.ndarray:
+    """Cross-lane beam retrieval: per-lane beams, merged by leaf log-prob,
+    leaf sentence runs expanded to the first k GLOBAL sentence ids per
+    query.  Returns (B, k) ids, -1 padded."""
+    scores, leaves = _vforest_beam(idx, q, k, beam_width, max_depth)
+    scores = np.asarray(scores)
+    leaves = np.asarray(leaves)
+    K, B, Wk = scores.shape
+    starts = np.asarray(idx.leaf_sentence_start)
+    counts = np.asarray(idx.leaf_sentence_count)
+    sorder = np.asarray(idx.sentence_order)
+    gsid = np.asarray(idx.global_sid)
+
+    flat_scores = scores.transpose(1, 0, 2).reshape(B, K * Wk)
+    flat_leaves = leaves.transpose(1, 0, 2).reshape(B, K * Wk)
+    lane_of = np.repeat(np.arange(K), Wk)
+    order = np.argsort(-flat_scores, axis=1, kind="stable")
+    out = np.full((B, k), -1, np.int64)
+    for b in range(B):
+        pos = 0
+        for j in order[b]:
+            leaf = flat_leaves[b, j]
+            if leaf < 0 or not np.isfinite(flat_scores[b, j]):
+                continue
+            ln = lane_of[j]
+            s0, c = starts[ln, leaf], counts[ln, leaf]
+            if s0 < 0 or c <= 0:
+                continue
+            take = min(int(c), k - pos)
+            out[b, pos:pos + take] = gsid[ln, sorder[ln, s0:s0 + take]]
+            pos += take
+            if pos >= k:
+                break
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_global",))
+def vforest_rank_scores(idx: StackedIndex, q: jnp.ndarray, n_global: int
+                        ) -> jnp.ndarray:
+    """Differentiable per-GLOBAL-sentence path scores over all lanes:
+    (B, D) -> (B, n_global).  The forest-mode equivalent of
+    core/index.rank_scores — per-lane scoring scattered to global sentence
+    ids (each global id lives in exactly one lane)."""
+
+    def per_lane(inv, mov, const, paths, pw, valid):
+        nlp = batched_node_log_probs(q, inv, mov, const)
+        scores = index_mod.path_scores_from_nlp(paths, pw, nlp)
+        return jnp.where(valid[None, :], scores, -jnp.inf)
+
+    lane_scores = jax.vmap(per_lane)(
+        idx.inv_var_T, idx.mu_over_var_T, idx.const, idx.paths,
+        idx.path_weights, idx.sentence_valid,
+    )                                                   # (K, B, S)
+    B = q.shape[0]
+    flat = jnp.transpose(lane_scores, (1, 0, 2)).reshape(B, -1)
+    gsid = idx.global_sid.reshape(-1)
+    safe = jnp.where(gsid >= 0, gsid, n_global)
+    out = jnp.full((B, n_global), -jnp.inf, flat.dtype)
+    return out.at[:, safe].set(flat, mode="drop")
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _vforest_query(idx: StackedIndex, q: jnp.ndarray, k: int):
     """Per-lane path-ranked top-k, merged across lanes by leaf log-prob
@@ -262,3 +351,86 @@ class VForest:
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         scores, gids = _vforest_query(idx, q, k)
         return np.asarray(scores), np.asarray(gids)
+
+    def beam_topk(self, queries: np.ndarray, k: int, beam_width: int = 32,
+                  max_depth: int = 16) -> np.ndarray:
+        """Cross-lane beam retrieval -> (B, k) global sentence ids."""
+        idx = self.build_index()
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        md = min(max_depth, max(self.max_depth(), 1))
+        return vforest_beam_topk(idx, q, k, beam_width=beam_width,
+                                 max_depth=md)
+
+    def rank_scores(self, queries) -> jnp.ndarray:
+        """Differentiable (B, n_sentences) global path scores."""
+        idx = self.build_index()
+        q = jnp.asarray(jnp.atleast_2d(queries))
+        return vforest_rank_scores(idx, q, self.n_sentences)
+
+    def max_depth(self) -> int:
+        idx = self.build_index()
+        return int(np.asarray((idx.paths >= 0).sum(-1)).max(initial=0))
+
+    # ------------------------------------------------------------------ #
+    # persistence (npz; forest analog of CobwebTree.save_npz)            #
+    # ------------------------------------------------------------------ #
+    def save_npz(self, path: str, **extra_arrays):
+        import json as _json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        st = jax.device_get(self.state)
+        n_local = np.asarray([len(l) for l in self._leaf_of_local])
+        leaf_mat = np.full((self.K, max(int(n_local.max(initial=0)), 1)),
+                           -1, np.int64)
+        for s, lst in enumerate(self._leaf_of_local):
+            leaf_mat[s, :len(lst)] = lst
+        np.savez_compressed(
+            path,
+            __forest__=np.asarray(self.K),
+            __cfg__=np.frombuffer(
+                _json.dumps(self.cfg.to_json_dict()).encode(), dtype=np.uint8
+            ),
+            __key__=np.asarray(self._key),
+            n_sentences=np.asarray(self.n_sentences),
+            shard_of=np.asarray(self.shard_of, np.int64),
+            local_sid=np.asarray(self.local_sid, np.int64),
+            leaf_of_local=leaf_mat,
+            n_local=n_local,
+            **{f"st_{k}": v for k, v in st._asdict().items()},
+            **extra_arrays,
+        )
+
+    @classmethod
+    def load_npz(cls, path: str):
+        """Restore a forest checkpoint; returns (vforest, extras dict)."""
+        import json as _json
+
+        with np.load(path, allow_pickle=True) as data:
+            cfg = TreeConfig.from_json_dict(
+                _json.loads(bytes(data["__cfg__"]).decode())
+            )
+            K = int(data["__forest__"])
+            st = tree_mod.TreeState(**{
+                k: jnp.asarray(data[f"st_{k}"])
+                for k in tree_mod.TreeState._fields
+            })
+            vf = cls(cfg, n_subtrees=K,
+                     capacity_per_tree=st.counts.shape[1])
+            vf.state = st
+            vf._key = jnp.asarray(data["__key__"])
+            vf.n_sentences = int(data["n_sentences"])
+            vf.shard_of = [int(x) for x in data["shard_of"]]
+            vf.local_sid = [int(x) for x in data["local_sid"]]
+            n_local = data["n_local"]
+            leaf_mat = data["leaf_of_local"]
+            vf._leaf_of_local = [
+                [int(x) for x in leaf_mat[s, : int(n_local[s])]]
+                for s in range(K)
+            ]
+            known = {f"st_{k}" for k in tree_mod.TreeState._fields} | {
+                "__forest__", "__cfg__", "__key__", "n_sentences",
+                "shard_of", "local_sid", "leaf_of_local", "n_local",
+            }
+            extras = {k: data[k] for k in data.files if k not in known}
+        return vf, extras
