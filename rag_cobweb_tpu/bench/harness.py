@@ -37,6 +37,8 @@ METHOD_GROUPS = {
     "cobweb": ("cobweb", "cobweb_fast"),
     "cobweb_pca": ("cobweb_pca", "cobweb_pca_fast"),
     "scale": ("flat_ip", "cobweb_pca_fast"),
+    # the golden-regression trio pinned by tests/test_golden.py
+    "golden": ("flat_ip", "cobweb_pca", "cobweb_pca_fast"),
 }
 
 
@@ -67,7 +69,8 @@ class BenchmarkRunner:
             corpus_embs: Optional[np.ndarray] = None,
             query_embs: Optional[np.ndarray] = None,
             compute: bool = True, seed: int = 42,
-            batch_size: int = 256, dim: int = 768) -> list[dict]:
+            batch_size: int = 256, dim: int = 768,
+            use_dpr: bool = False) -> list[dict]:
         uid = encoders.generate_unique_id(
             model_name, self.dataset_name, split, subset_size, target_size,
             top_k=top_k,
@@ -88,14 +91,23 @@ class BenchmarkRunner:
                 [data.corpus.index(t) for t in data.targets], np.int64
             )
             if corpus_embs is None:
-                enc = encode_func or encoders.make_encoder(model_name)
+                if use_dpr:
+                    # DPR dual-encoder path (reference base_benchmark.py:59-98
+                    # selects it from config): contexts through the passage
+                    # encoder, questions through the question encoder
+                    ctx_enc, q_enc = encoders.make_dpr_encoders(model_name)
+                    corpus_enc, query_enc = ctx_enc, q_enc
+                else:
+                    corpus_enc = query_enc = (
+                        encode_func or encoders.make_encoder(model_name)
+                    )
                 corpus_embs = encoders.load_or_compute(
                     encoders.embedding_cache_path(self.root, "corpus", uid),
-                    lambda: enc(data.corpus), compute,
+                    lambda: corpus_enc(data.corpus), compute,
                 )
                 query_embs = encoders.load_or_compute(
                     encoders.embedding_cache_path(self.root, "queries", uid),
-                    lambda: enc(data.queries), compute,
+                    lambda: query_enc(data.queries), compute,
                 )
         corpus_embs = np.asarray(corpus_embs, np.float32)
         query_embs = np.asarray(query_embs, np.float32)
@@ -241,6 +253,9 @@ class BenchmarkRunner:
                        choices=sorted(METHOD_GROUPS))
         p.add_argument("--dim", type=int, default=768,
                        help="synthetic embedding dim")
+        p.add_argument("--use_dpr", action="store_true", default=False,
+                       help="DPR dual-encoder embeddings (question/context "
+                            "encoders; reference base_benchmark.py:59-98)")
         return p
 
     @staticmethod

@@ -39,6 +39,48 @@ def parse_results_file(path: str) -> list[dict]:
     return rows
 
 
+def parse_reference_results_file(path: str) -> dict[str, dict]:
+    """Parse the REFERENCE's committed artifact format (blocks of
+    ``--- Metrics for <method> ---`` / ``Avg Latency: X ms`` / a +---+
+    pretty-table with one row per k) into
+    ``{method: {avg_latency_ms, recall@k, mrr@k, ndcg@k, ...}}``.
+
+    This is the reader for the reference's regression-by-artifact record
+    (/root/reference/outputs/*/benchmark_*.txt, written by its
+    print_metrics_table, benchmark_utils.py:836-868) — used by the golden
+    tests to pin our baseline numbers to their recorded source.
+    """
+    out: dict[str, dict] = {}
+    method = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            m = re.match(r"^-+ Metrics for (.+?) -+$", line)
+            if m:
+                method = m.group(1).strip()
+                out[method] = {}
+                continue
+            if method is None:
+                continue
+            m = re.match(
+                r"^Avg Latency: ([0-9.]+) ms with total time ([0-9.]+)", line
+            )
+            if m:
+                out[method]["avg_latency_ms"] = float(m.group(1))
+                out[method]["time_taken"] = float(m.group(2))
+                continue
+            m = re.match(
+                r"^\|\s*@(\d+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|"
+                r"\s*([0-9.]+)\s*\|$", line
+            )
+            if m:
+                k = int(m.group(1))
+                out[method][f"recall@{k}"] = float(m.group(2))
+                out[method][f"mrr@{k}"] = float(m.group(3))
+                out[method][f"ndcg@{k}"] = float(m.group(4))
+    return {k: v for k, v in out.items() if v}
+
+
 def collect_results(outputs_dir: str, pattern: str = "benchmark_*.txt"
                     ) -> dict[str, list[dict]]:
     """All results files under outputs/<dataset>/, keyed by filename."""

@@ -30,11 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rag_cobweb_tpu.core.tree import CobwebTree
-from rag_cobweb_tpu.ops.gaussian import (
-    batched_node_log_probs,
-    compute_var,
-    node_log_prob_terms,
-)
+from rag_cobweb_tpu.ops.gaussian import batched_node_log_probs
 
 DEFAULT_LEVEL_WEIGHTS = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)  # CobwebWrapper.py:155
 
@@ -67,6 +63,7 @@ def build_index(
     leaf_of_sentence: np.ndarray,
     level_weights: Sequence[float] = DEFAULT_LEVEL_WEIGHTS,
     pad_depth_to: int = 4,
+    as_numpy: bool = False,
 ) -> PredictionIndex:
     """Compact the live tree + derive per-sentence root->leaf paths.
 
@@ -148,30 +145,48 @@ def build_index(
     leaf_start[uniq] = starts.astype(np.int32)
     leaf_count[uniq] = counts.astype(np.int32)
 
-    # --- compact stats on device -----------------------------------------
-    live_idx = jnp.asarray(order_arr)
-    means = tree.state.means[live_idx]
-    m2s = tree.state.m2s[live_idx]
-    counts = tree.state.counts[live_idx]
-    vars_ = compute_var(m2s, counts[:, None], cfg)
-    inv_var_T, mu_over_var_T, const = node_log_prob_terms(means, vars_)
-
+    # --- compact stats (host numpy, ONE upload) ---------------------------
+    # these are elementwise over (N_live, D): doing them eagerly on device
+    # costs a kernel compile per distinct N_live (ruinous when a forest
+    # builds one index per lane through the slow remote compile service);
+    # host numpy + a single device_put of the final arrays is faster at
+    # every size measured (mirrors ops/gaussian.compute_var +
+    # node_log_prob_terms exactly)
+    means = st.means[order_arr].astype(np.float32)
+    m2s = st.m2s[order_arr]
+    counts = st.counts[order_arr]
+    safe_count = np.where(counts > 0, counts, 1.0)[:, None]
+    ml_var = m2s / safe_count
+    if cfg.acuity_cutoff:
+        vars_ = np.maximum(ml_var, cfg.prior_var)
+    else:
+        vars_ = ml_var + cfg.prior_var
+    vars_ = np.where(counts[:, None] > 0, vars_, cfg.prior_var).astype(
+        np.float32)
+    inv_var = 1.0 / vars_
+    mu_over_var = means * inv_var
+    const_h = -0.5 * (np.sum(np.square(means) * inv_var, axis=-1)
+                      + np.sum(np.log(vars_), axis=-1))
     # compact children table
     kids = st.children[order_arr]  # (N_live, F) raw idx
     kids_compact = np.where(kids >= 0, compact_of[np.maximum(kids, 0)], -1).astype(
         np.int32
     )
 
+    # ``as_numpy`` keeps the index host-side — for per-lane indexes that
+    # are immediately re-stacked/flattened (forest builds), skipping the
+    # per-lane device round trip
+    wrap = np.ascontiguousarray if as_numpy else jnp.asarray
     return PredictionIndex(
-        inv_var_T=inv_var_T,
-        mu_over_var_T=mu_over_var_T,
-        const=const,
-        paths=jnp.asarray(paths),
-        path_weights=jnp.asarray(weights),
-        children=jnp.asarray(kids_compact),
-        leaf_sentence_start=jnp.asarray(leaf_start),
-        leaf_sentence_count=jnp.asarray(leaf_count),
-        sentence_order=jnp.asarray(sent_order),
+        inv_var_T=wrap(inv_var.T),
+        mu_over_var_T=wrap(mu_over_var.T),
+        const=wrap(const_h.astype(np.float32)),
+        paths=wrap(paths),
+        path_weights=wrap(weights),
+        children=wrap(kids_compact),
+        leaf_sentence_start=wrap(leaf_start),
+        leaf_sentence_count=wrap(leaf_count),
+        sentence_order=wrap(sent_order),
     )
 
 
@@ -217,6 +232,46 @@ def query_topk(index: PredictionIndex, queries: jnp.ndarray, k: int,
     k = min(k, scores.shape[1])
     top_scores, top_ids = jax.lax.top_k(scores, k)
     return top_scores, top_ids
+
+
+def _sentence_leaf_nodes(index: PredictionIndex) -> jnp.ndarray:
+    """(S,) compact node idx of each sentence's leaf (deepest path entry)."""
+    plen = jnp.sum(index.paths >= 0, axis=1)
+    return jnp.take_along_axis(
+        index.paths, jnp.maximum(plen - 1, 0)[:, None], axis=1
+    )[:, 0]
+
+
+def _leaf_lp_rerank(index: PredictionIndex, queries: jnp.ndarray,
+                    cand: jnp.ndarray, cand_scores: jnp.ndarray, k: int):
+    """Re-rank (B, C) candidate sentences by their LEAF log-probability —
+    the same key the beam search ranks by, which holds recall at scale
+    where the weighted path-sum's upper levels wash out fine distinctions
+    (measured: path-score recall@10 dips to ~0.98 at 100k while leaf-lp
+    beam holds ~0.998).  Returns (scores (B, k), ids (B, k))."""
+    leaf_of = _sentence_leaf_nodes(index)          # (S,)
+    leaves = leaf_of[cand]                         # (B, C)
+    ivt = index.inv_var_T.T[leaves]                # (B, C, D)
+    movt = index.mu_over_var_T.T[leaves]
+    cst = index.const[leaves]
+    x = queries[:, None, :]
+    lp = (jnp.sum(x * movt, -1) - 0.5 * jnp.sum(jnp.square(x) * ivt, -1)
+          + cst)
+    lp = jnp.where(jnp.isfinite(cand_scores), lp, -jnp.inf)
+    top, pos = jax.lax.top_k(lp, k)
+    return top, jnp.take_along_axis(cand, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rerank"))
+def query_topk_rerank(index: PredictionIndex, queries: jnp.ndarray, k: int,
+                      rerank: int = 128):
+    """Hybrid retrieval: path-score top-``rerank`` candidates, re-ranked by
+    leaf log-prob, final top-k — fast-path latency with beam-path recall."""
+    scores = rank_scores(index, queries)
+    c = min(max(rerank, k), scores.shape[1])
+    cand_scores, cand = jax.lax.top_k(scores, c)
+    return _leaf_lp_rerank(index, queries, cand, cand_scores,
+                           min(k, c))
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +384,22 @@ def blocked_query_topk(bidx: BlockedIndex, queries: jnp.ndarray, k: int):
     top, pos = jax.lax.top_k(flat, k)
     sids = bidx.sid_of_slot.reshape(-1)[pos]
     return top, sids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rerank"))
+def blocked_query_topk_rerank(bidx: BlockedIndex, index: PredictionIndex,
+                              queries: jnp.ndarray, k: int,
+                              rerank: int = 128):
+    """Blocked MXU scoring for the candidate sweep + leaf-log-prob re-rank
+    of the top-``rerank`` (see ``query_topk_rerank``)."""
+    scores = blocked_scores(bidx, queries)
+    B, NB, TS = scores.shape
+    flat = scores.reshape(B, NB * TS)
+    c = min(max(rerank, k), NB * TS)
+    cand_scores, pos = jax.lax.top_k(flat, c)
+    cand = bidx.sid_of_slot.reshape(-1)[pos].astype(jnp.int32)
+    return _leaf_lp_rerank(index, queries, cand, cand_scores,
+                           min(k, c))
 
 
 # ---------------------------------------------------------------------------

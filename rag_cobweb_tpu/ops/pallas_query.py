@@ -62,14 +62,20 @@ def _kernel(q_ref, q2_ref, ivt_ref, movt_ref, const_ref, w_ref, valid_ref,
         scores = jnp.where(lane == a[:, None], NEG, scores)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "block_k"))
 def pallas_blocked_topk(bidx: BlockedIndex, queries: jnp.ndarray, k: int,
-                        interpret: bool = False):
-    """(B, D) queries -> (scores (B, k), sentence ids (B, k))."""
+                        interpret: bool = False, block_k: int = 0):
+    """(B, D) queries -> (scores (B, k), sentence ids (B, k)).
+
+    ``block_k``: per-block candidates the kernel extracts (default = k).
+    The in-kernel extraction is k sequential max+mask rounds, so when a
+    large candidate pool is wanted for downstream re-ranking, a small
+    ``block_k`` (e.g. 16) with k = pool size is much faster — the merged
+    pool still holds NB * block_k candidates."""
     NB, M, D = bidx.ivt_b.shape
     TS = bidx.W.shape[2]
     B = queries.shape[0]
-    kk = min(k, TS)
+    kk = min(block_k or k, TS)
 
     q2 = jnp.square(queries)
     const2d = bidx.const_b[:, None, :]            # (NB, 1, M)

@@ -80,12 +80,17 @@ def build_stacked_index(cfg: TreeConfig, host_state: TreeState,
     K = host_state.counts.shape[0]
     per_shard = []
     for s in range(K):
-        st_s = jax.tree.map(lambda a: a[s], host_state)
+        st_s = jax.tree.map(lambda a: np.asarray(a[s]), host_state)
         shard_tree = CobwebTree.__new__(CobwebTree)
         shard_tree.cfg = cfg
-        shard_tree.state = jax.tree.map(jnp.asarray, st_s)
+        shard_tree.state = st_s
+        # as_numpy: per-lane indexes stay host-side — they are immediately
+        # padded+stacked below; per-lane device round trips would pay the
+        # ~30 ms relay latency (and a remote compile per distinct lane
+        # shape) K times over
         idx = index_mod.build_index(
-            shard_tree, np.asarray(leaf_of_local[s], np.int32)
+            shard_tree, np.asarray(leaf_of_local[s], np.int32),
+            as_numpy=True,
         )
         per_shard.append(idx)
 
@@ -138,6 +143,71 @@ def build_stacked_index(cfg: TreeConfig, host_state: TreeState,
         children=jnp.asarray(kids), leaf_sentence_start=jnp.asarray(lstart),
         leaf_sentence_count=jnp.asarray(lcount),
         sentence_order=jnp.asarray(sorder),
+    )
+
+
+def merge_stacked_to_flat(stacked: StackedIndex) -> "index_mod.PredictionIndex":
+    """Flatten a K-lane StackedIndex into ONE PredictionIndex over global
+    sentence ids: lane l's compact node ids are offset by ``l * N`` and the
+    per-lane GEMM terms / paths concatenate.  The result drives every
+    single-tree fast-query engine (gather, blocked MXU, Pallas kernel,
+    leaf-lp re-rank) over the whole forest at once.
+
+    NOT valid for ``beam_search_topk`` (there is no single root; compact
+    slot 0 is lane 0's root) — forest beam goes through
+    parallel/vforest.vforest_beam_topk instead.
+    """
+    K, D, N = stacked.inv_var_T.shape
+    S_pad = stacked.paths.shape[1]
+    Pd = stacked.paths.shape[2]
+
+    inv = np.asarray(stacked.inv_var_T)     # (K, D, N)
+    mov = np.asarray(stacked.mu_over_var_T)
+    const = np.asarray(stacked.const)       # (K, N)
+    inv_flat = np.concatenate([inv[l] for l in range(K)], axis=1)   # (D, K*N)
+    mov_flat = np.concatenate([mov[l] for l in range(K)], axis=1)
+    const_flat = const.reshape(K * N)
+
+    paths = np.asarray(stacked.paths)       # (K, S_pad, P)
+    pw = np.asarray(stacked.path_weights)
+    gsid = np.asarray(stacked.global_sid)   # (K, S_pad)
+    valid = gsid >= 0
+    n_sent = int(valid.sum())
+    offs = (np.arange(K) * N)[:, None, None]
+    paths_off = np.where(paths >= 0, paths + offs, -1)
+
+    flat_paths = np.full((n_sent, Pd), -1, np.int32)
+    flat_pw = np.zeros((n_sent, Pd), np.float32)
+    lanes, rows = np.nonzero(valid)
+    sids = gsid[lanes, rows]
+    flat_paths[sids] = paths_off[lanes, rows]
+    flat_pw[sids] = pw[lanes, rows]
+
+    # leaf bookkeeping in global numbering
+    plen = (flat_paths >= 0).sum(1)
+    leaf_of = flat_paths[np.arange(n_sent), np.maximum(plen - 1, 0)]
+    sent_order = np.argsort(leaf_of, kind="stable").astype(np.int32)
+    sorted_leaves = leaf_of[sent_order]
+    leaf_start = np.full((K * N,), -1, np.int32)
+    leaf_count = np.zeros((K * N,), np.int32)
+    uniq, starts, counts = np.unique(sorted_leaves, return_index=True,
+                                     return_counts=True)
+    leaf_start[uniq] = starts.astype(np.int32)
+    leaf_count[uniq] = counts.astype(np.int32)
+
+    kids = np.asarray(stacked.children)     # (K, N, F)
+    kids_flat = np.where(kids >= 0, kids + offs, -1).reshape(K * N, -1)
+
+    return index_mod.PredictionIndex(
+        inv_var_T=jnp.asarray(inv_flat),
+        mu_over_var_T=jnp.asarray(mov_flat),
+        const=jnp.asarray(const_flat),
+        paths=jnp.asarray(flat_paths),
+        path_weights=jnp.asarray(flat_pw),
+        children=jnp.asarray(kids_flat.astype(np.int32)),
+        leaf_sentence_start=jnp.asarray(leaf_start),
+        leaf_sentence_count=jnp.asarray(leaf_count),
+        sentence_order=jnp.asarray(sent_order),
     )
 
 

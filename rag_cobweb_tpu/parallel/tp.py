@@ -1,0 +1,176 @@
+"""Within-tree tensor parallelism: one prediction index sharded over a mesh.
+
+The forest (parallel/forest.py) shards *trees*; this module shards ONE
+tree's query index when its matrices exceed a single device's HBM
+(SURVEY.md §2c, row "Tensor parallelism": "shard node-statistics matrices
+over ICI when a single forest shard exceeds HBM").  At 1M+ sentences the
+HBM ceiling is the pair of (D, N) GEMM-term matrices and the (S, P) path
+arrays; both are split here:
+
+  * node statistics ``inv_var_T`` / ``mu_over_var_T`` are sharded along
+    **D** — the contraction dimension of the scoring GEMMs.  Each device
+    computes a partial (B, N) node-log-prob from its D-slice and a
+    ``psum`` over ICI completes the reduction (classic TP: shard the
+    contraction, all-reduce the partials).
+  * the per-sentence path arrays are sharded along **S** — each device
+    path-sums and top-k's only its own sentence rows, and an
+    ``all_gather`` of (B, k) candidates + a final merge produces the
+    global top-k.  Only k candidates per shard cross the interconnect.
+
+Per-device memory: (2·D·N)/K stats + (2·S·P)/K paths — K× headroom over
+the single-chip layout with two collectives per query batch.
+
+The reference has no equivalent (100% single-device torch); the role being
+filled is CobwebWrapper.cobweb_predict_indexed (:210-265) at sizes where
+its dense caches (:187-203) cannot fit one device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rag_cobweb_tpu.core.index import PredictionIndex
+
+
+class TPIndex(NamedTuple):
+    """Device-sharded prediction index (leading axis = mesh shard)."""
+
+    ivt: jnp.ndarray        # (K, D/K, N)  inv_var_T sharded along D
+    movt: jnp.ndarray       # (K, D/K, N)
+    const: jnp.ndarray      # (N,) replicated (per-node scalar term)
+    paths: jnp.ndarray      # (K, S/K, P)  path rows sharded along S
+    path_weights: jnp.ndarray  # (K, S/K, P)
+    sid: jnp.ndarray        # (K, S/K) local row -> global sentence id, -1 pad
+    leaf: jnp.ndarray       # (K, S/K) local row -> leaf compact node idx
+
+    @property
+    def n_shards(self) -> int:
+        return self.ivt.shape[0]
+
+
+def shard_index(index: PredictionIndex, n_shards: int) -> TPIndex:
+    """Split a built PredictionIndex into ``n_shards`` TP shards (host-side
+    reshapes; arrays are placed onto the mesh by ``tp_query_topk``)."""
+    ivt = np.asarray(index.inv_var_T)
+    movt = np.asarray(index.mu_over_var_T)
+    D, N = ivt.shape
+    Dp = -(-D // n_shards) * n_shards
+    if Dp != D:
+        # zero-padding the contraction dim adds exact zeros to the psum
+        pad = ((0, Dp - D), (0, 0))
+        ivt = np.pad(ivt, pad)   # inv_var pad 0 contributes 0 to q^2 . ivt
+        movt = np.pad(movt, pad)
+    ivt = ivt.reshape(n_shards, Dp // n_shards, N)
+    movt = movt.reshape(n_shards, Dp // n_shards, N)
+
+    paths = np.asarray(index.paths)
+    pw = np.asarray(index.path_weights)
+    S, Pd = paths.shape
+    Sp = -(-S // n_shards) * n_shards
+    sid = np.arange(S, dtype=np.int32)
+    plen = (paths >= 0).sum(1)
+    leaf = paths[np.arange(S), np.maximum(plen - 1, 0)].astype(np.int32)
+    if Sp != S:
+        paths = np.pad(paths, ((0, Sp - S), (0, 0)), constant_values=-1)
+        pw = np.pad(pw, ((0, Sp - S), (0, 0)))
+        sid = np.pad(sid, (0, Sp - S), constant_values=-1)
+        leaf = np.pad(leaf, (0, Sp - S))
+    return TPIndex(
+        ivt=jnp.asarray(ivt), movt=jnp.asarray(movt),
+        const=jnp.asarray(index.const),
+        paths=jnp.asarray(paths.reshape(n_shards, Sp // n_shards, Pd)),
+        path_weights=jnp.asarray(pw.reshape(n_shards, Sp // n_shards, Pd)),
+        sid=jnp.asarray(sid.reshape(n_shards, Sp // n_shards)),
+        leaf=jnp.asarray(leaf.reshape(n_shards, Sp // n_shards)),
+    )
+
+
+def place(tpidx: TPIndex, mesh: Mesh, axis: str = "shard") -> TPIndex:
+    """Put each shard's arrays on its mesh device (leading axis sharded)."""
+    def spec(a):
+        if a is tpidx.const:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+    return TPIndex(*[
+        jax.device_put(a, spec(a)) for a in tpidx
+    ])
+
+
+@functools.lru_cache(maxsize=None)
+def _tp_query(mesh: Mesh, axis: str, k: int, rerank: int):
+    """shard_map'd TP query: partial GEMM over the local D-slice, psum,
+    local path-sum + top-k over the local S rows, all_gather merge.
+
+    ``rerank`` > 0 re-ranks each shard's candidates by leaf log-prob
+    before the merge (core/index._leaf_lp_rerank semantics) so the merge
+    key is calibrated across shards.
+    """
+
+    def per_shard(tpidx: TPIndex, q):
+        hi = jax.lax.Precision.HIGHEST
+        ivt = tpidx.ivt[0]          # (D/K, N) — local slab
+        movt = tpidx.movt[0]
+        dsl = ivt.shape[0]
+        i = jax.lax.axis_index(axis)
+        q_local = jax.lax.dynamic_slice_in_dim(q, i * dsl, dsl, 1)  # (B, D/K)
+        partial = (
+            jnp.matmul(q_local, movt, precision=hi)
+            - 0.5 * jnp.matmul(jnp.square(q_local), ivt, precision=hi)
+        )                                                   # (B, N) partial
+        nlp = jax.lax.psum(partial, axis) + tpidx.const[None, :]
+
+        paths = tpidx.paths[0]                              # (S/K, P)
+        pw = tpidx.path_weights[0]
+        sid = tpidx.sid[0]
+        safe = jnp.maximum(paths, 0)
+        scores = jnp.zeros((q.shape[0], paths.shape[0]), jnp.float32)
+        for p in range(paths.shape[1]):
+            scores = scores + nlp[:, safe[:, p]] * pw[:, p][None, :]
+        scores = jnp.where(sid[None, :] >= 0, scores, -jnp.inf)
+        kk = min(max(k, rerank), scores.shape[1])
+        top, rows = jax.lax.top_k(scores, kk)               # (B, kk)
+        gids = sid[rows]
+        if rerank:
+            leaves = tpidx.leaf[0][rows]                    # (B, kk)
+            lp = jnp.take_along_axis(nlp, leaves, axis=1)
+            top = jnp.where(jnp.isfinite(top), lp, -jnp.inf)
+        all_top = jax.lax.all_gather(top, axis)             # (K, B, kk)
+        all_gids = jax.lax.all_gather(gids, axis)
+        K, B, kk2 = all_top.shape
+        merged = jnp.transpose(all_top, (1, 0, 2)).reshape(B, K * kk2)
+        mids = jnp.transpose(all_gids, (1, 0, 2)).reshape(B, K * kk2)
+        fin, pos = jax.lax.top_k(merged, min(k, K * kk2))
+        return fin, jnp.take_along_axis(mids, pos, axis=1)
+
+    f = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(TPIndex(ivt=P(axis), movt=P(axis), const=P(),
+                          paths=P(axis), path_weights=P(axis), sid=P(axis),
+                          leaf=P(axis)), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+class TPPredictionIndex:
+    """One tree's prediction index sharded over a mesh (query facade)."""
+
+    def __init__(self, index: PredictionIndex, mesh: Mesh,
+                 axis: str = "shard"):
+        self.mesh = mesh
+        self.axis = axis
+        self.n_shards = int(mesh.devices.size)
+        self.tpidx = place(shard_index(index, self.n_shards), mesh, axis)
+
+    def query_topk(self, queries, k: int, rerank: int = 0):
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        fn = _tp_query(self.mesh, self.axis, k, rerank)
+        scores, gids = fn(self.tpidx, q)
+        return np.asarray(scores), np.asarray(gids)

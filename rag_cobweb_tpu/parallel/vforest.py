@@ -236,6 +236,7 @@ class VForest:
             [] for _ in range(n_subtrees)
         ]
         self._stacked_index: Optional[StackedIndex] = None
+        self._flat_index = None
 
     def _ensure_capacity(self, rounds: int):
         """Grow every lane's node arrays when the next rounds could
@@ -344,7 +345,18 @@ class VForest:
                 self.cfg, jax.device_get(self.state), self._leaf_of_local,
                 self.shard_of, self.local_sid, self.n_sentences,
             )
+            self._flat_index = None
         return self._stacked_index
+
+    def flat_index(self) -> "index_mod.PredictionIndex":
+        """The whole forest flattened to one PredictionIndex over global
+        sentence ids (parallel/forest.merge_stacked_to_flat) — drives the
+        blocked-MXU / Pallas / re-rank query engines at scale."""
+        from rag_cobweb_tpu.parallel.forest import merge_stacked_to_flat
+        stacked = self.build_index()
+        if getattr(self, "_flat_index", None) is None:
+            self._flat_index = merge_stacked_to_flat(stacked)
+        return self._flat_index
 
     def query_topk(self, queries: np.ndarray, k: int):
         idx = self.build_index()

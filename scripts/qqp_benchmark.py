@@ -23,7 +23,7 @@ def main():
     runner.run(
         model_name=args.model_name, subset_size=args.subset_size,
         split=args.split, target_size=args.target_size, top_k=args.top_k,
-        method=args.method,
+        method=args.method, use_dpr=args.use_dpr,
     )
 
 

@@ -37,6 +37,12 @@ def main():
     p.add_argument("--chunk", type=int, default=2048)
     p.add_argument("--fast-build", action="store_true",
                    help="insert via the frozen-epoch bulk path")
+    p.add_argument("--vforest", type=int, default=0, metavar="K",
+                   help="K-subtree forest build (vmapped inserts)")
+    p.add_argument("--rerank", type=int, default=128,
+                   help="leaf-lp re-rank candidates for the hybrid fast "
+                        "path (0 = pure path-score)")
+    p.add_argument("--skip-beam", action="store_true")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -64,7 +70,8 @@ def main():
 
     db = CobwebIndex(corpus=None, corpus_embeddings=None,
                      config=TreeConfig(dim=corpus_w.shape[1]),
-                     capacity=4 * args.max_size + 16)
+                     capacity=4 * args.max_size + 16,
+                     n_subtrees=args.vforest or 1)
     inserted = 0
     results = []
     for size in sizes:
@@ -85,30 +92,50 @@ def main():
         q = queries_w[mask]
         gold = data.target_ids[mask]
 
-        bidx = db._blocked_index()
-
-        def cobweb_fast(qb, k):
-            _, ids = index_mod.blocked_query_topk(bidx, jnp.asarray(qb), k)
-            return ids
-
-        def cobweb_beam(qb, k):
-            _, leaves = index_mod.beam_search_topk(
-                db._index, jnp.asarray(qb), k, beam_width=args.beam_width,
-                max_depth=max(db.max_depth, 1),
-            )
-            return index_mod.leaves_to_sentence_ids(
-                db._index, np.asarray(leaves), k
-            )
-
         flat = FlatIndex(data.corpus_embs[:size], metric="l2")
         row = {"size": size, "insert_rate": round(rate, 1),
                "index_build_s": round(index_s, 2)}
+        if args.vforest:
+            from rag_cobweb_tpu.parallel.vforest import _vforest_query
+            fidx = db.forest.build_index()
+
+            def cobweb_fast(qb, k):
+                _, ids = _vforest_query(fidx, jnp.asarray(qb), k)
+                return ids
+
+            def cobweb_beam(qb, k):
+                return db.forest.beam_topk(qb, k,
+                                           beam_width=args.beam_width)
+        else:
+            bidx = db._blocked_index()
+
+            def cobweb_fast(qb, k):
+                if args.rerank:
+                    _, ids = index_mod.blocked_query_topk_rerank(
+                        bidx, db._index, jnp.asarray(qb), k,
+                        rerank=args.rerank)
+                else:
+                    _, ids = index_mod.blocked_query_topk(
+                        bidx, jnp.asarray(qb), k)
+                return ids
+
+            def cobweb_beam(qb, k):
+                _, leaves = index_mod.beam_search_topk(
+                    db._index, jnp.asarray(qb), k,
+                    beam_width=args.beam_width,
+                    max_depth=max(db.max_depth, 1),
+                )
+                return index_mod.leaves_to_sentence_ids(
+                    db._index, np.asarray(leaves), k
+                )
+
         evals = [
             ("cobweb_fast", cobweb_fast, q, gold),
-            ("cobweb_beam", cobweb_beam, q, gold),
             ("flat_exact", lambda qb, k: flat.search(qb, k),
              data.query_embs[mask], gold),
         ]
+        if not args.skip_beam:
+            evals.insert(1, ("cobweb_beam", cobweb_beam, q, gold))
         if native.available() and size <= 200_000:
             # HNSW on the whitened (low-dim) vectors — the reference's
             # "HNSW PCA+ICA" configuration, and 6x cheaper per distance.

@@ -164,3 +164,25 @@ def test_pallas_blocked_topk_interpret_matches(built):
                                rtol=1e-4, atol=1e-4)
     for b in range(4):
         assert set(np.asarray(got_ids)[b]) == set(np.asarray(want_ids)[b])
+
+
+def test_query_topk_rerank_agrees_on_clean_data(built):
+    """On well-separated clusters the hybrid re-rank must retrieve the same
+    gold neighbor as the pure path-score top-k (the candidate sweep keeps
+    it; the leaf-lp re-rank cannot drop it)."""
+    import jax.numpy as jnp
+    tree, idx, xs, leaves = built
+    q = jnp.asarray(xs[:16])
+    _, rer = index_mod.query_topk_rerank(idx, q, 5, rerank=32)
+    for b in range(16):
+        assert b in np.asarray(rer)[b], (b, np.asarray(rer)[b])
+
+
+def test_blocked_rerank_matches_gather_rerank(built):
+    import jax.numpy as jnp
+    tree, idx, xs, leaves = built
+    bidx = index_mod.build_blocked_index(idx, block_size=64)
+    q = jnp.asarray(xs[:8])
+    _, a = index_mod.query_topk_rerank(idx, q, 5, rerank=32)
+    _, b = index_mod.blocked_query_topk_rerank(bidx, idx, q, 5, rerank=32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -179,3 +179,36 @@ class TestForestModeWrapper:
             db.dump_json()
         with pytest.raises(ValueError):
             db.print_tree()
+
+
+def test_flat_index_matches_vforest_query(data):
+    """merge_stacked_to_flat: the flattened single PredictionIndex over the
+    whole forest retrieves the same neighborhoods as the per-lane query
+    (and feeds the blocked/Pallas engines)."""
+    import jax.numpy as jnp
+    from rag_cobweb_tpu.core import index as index_mod
+
+    vf = VForest(TreeConfig(dim=16), n_subtrees=4, capacity_per_tree=512,
+                 seed=0)
+    vf.add(data)
+    flat = vf.flat_index()
+    assert flat.num_sentences == len(data)
+    qs = jnp.asarray(data[:40])
+    # raw path-sums are NOT calibrated across differently shaped lane trees
+    # (forest merges by leaf log-prob for this reason) -> the flat index is
+    # always queried with the leaf-lp re-rank, which restores calibration
+    _, rids = index_mod.query_topk_rerank(flat, qs, 5, rerank=64)
+    rhits = np.mean([b in np.asarray(rids)[b] for b in range(40)])
+    assert rhits >= 0.95
+    # engine equivalence on the same flat index: gather vs blocked vs pallas
+    _, ids = index_mod.query_topk(flat, qs, 5)
+    bidx = index_mod.build_blocked_index(flat, block_size=64)
+    _, bids = index_mod.blocked_query_topk(bidx, qs, 5)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(bids))
+    _, brids = index_mod.blocked_query_topk_rerank(bidx, flat, qs, 5,
+                                                   rerank=64)
+    np.testing.assert_array_equal(np.asarray(rids), np.asarray(brids))
+    # pallas kernel (interpret mode on CPU) agrees with the blocked engine
+    from rag_cobweb_tpu.ops.pallas_query import pallas_blocked_topk
+    _, pids = pallas_blocked_topk(bidx, qs, 5, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bids), np.asarray(pids))
