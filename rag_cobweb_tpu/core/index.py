@@ -304,9 +304,18 @@ class BlockedIndex(NamedTuple):
 
 
 def build_blocked_index(index: PredictionIndex, block_size: int = 512,
-                        node_pad: int = 128) -> BlockedIndex:
+                        node_pad: int = 128,
+                        dtype=jnp.float32) -> BlockedIndex:
     """Derive the blocked form from a built PredictionIndex (host-side
-    structure work, device-side stats replication)."""
+    structure work, device-side stats replication).
+
+    ``dtype=jnp.bfloat16`` stores the replicated GEMM terms and path
+    weights at half width — HALF the HBM traffic of the candidate sweep,
+    the dominant cost at 500k+ sentences.  bf16 scores carry ~1e-2 relative
+    error, so pair it with the leaf-lp re-rank (f32,
+    ``blocked_query_topk_rerank``) which restores exact final ranking; the
+    top-``rerank`` candidate pool absorbs sweep-level score jitter.
+    """
     paths = np.asarray(index.paths)
     weights = np.asarray(index.path_weights)
     order = np.asarray(index.sentence_order)       # sentences in leaf order
@@ -355,22 +364,33 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
                   bw[:n].reshape(-1)[ok])
 
     return BlockedIndex(
-        ivt_b=jnp.asarray(ivt_b), movt_b=jnp.asarray(movt_b),
-        const_b=jnp.asarray(const_b), W=jnp.asarray(W),
+        ivt_b=jnp.asarray(ivt_b, dtype), movt_b=jnp.asarray(movt_b, dtype),
+        const_b=jnp.asarray(const_b), W=jnp.asarray(W, dtype),
         valid=jnp.asarray(valid), sid_of_slot=jnp.asarray(sid_of_slot),
     )
 
 
 def blocked_scores(bidx: BlockedIndex, queries: jnp.ndarray) -> jnp.ndarray:
-    """(B, D) -> (B, NB, TS) path scores via three batched matmuls."""
-    hi = jax.lax.Precision.HIGHEST
+    """(B, D) -> (B, NB, TS) path scores via three batched matmuls.
+
+    f32 terms contract at HIGHEST precision (bf16 MXU passes flip top-k
+    ties); bf16 terms (see ``build_blocked_index(dtype=...)``) contract
+    natively with f32 accumulation — the approximate sweep a downstream
+    re-rank makes exact."""
+    lo = bidx.ivt_b.dtype != jnp.float32
+    prec = jax.lax.Precision.DEFAULT if lo else jax.lax.Precision.HIGHEST
+    q = queries.astype(bidx.ivt_b.dtype)
     nlp = (
-        jnp.einsum("bd,smd->sbm", queries, bidx.movt_b, precision=hi)
-        - 0.5 * jnp.einsum("bd,smd->sbm", jnp.square(queries), bidx.ivt_b,
-                           precision=hi)
+        jnp.einsum("bd,smd->sbm", q, bidx.movt_b, precision=prec,
+                   preferred_element_type=jnp.float32)
+        - 0.5 * jnp.einsum("bd,smd->sbm", jnp.square(q), bidx.ivt_b,
+                           precision=prec,
+                           preferred_element_type=jnp.float32)
         + bidx.const_b[:, None, :]
     )                                                  # (NB, B, M)
-    scores = jnp.einsum("sbm,smt->bst", nlp, bidx.W, precision=hi)
+    scores = jnp.einsum("sbm,smt->bst", nlp.astype(bidx.W.dtype), bidx.W,
+                        precision=prec,
+                        preferred_element_type=jnp.float32)
     return jnp.where(bidx.valid[None, :, :], scores, -jnp.inf)
 
 
@@ -500,17 +520,19 @@ def leaves_to_sentence_ids(index: PredictionIndex, leaf_nodes: np.ndarray,
     sorder = np.asarray(index.sentence_order)
     B = leaf_nodes.shape[0]
     out = np.full((B, k), -1, np.int64)
-    for b in range(B):
-        pos = 0
-        for leaf in leaf_nodes[b]:
-            if leaf < 0 or pos >= k:
-                continue
-            s, c = starts[leaf], counts[leaf]
-            if s < 0:
-                continue
-            take = min(c, k - pos)
-            out[b, pos:pos + take] = sorder[s:s + take]
-            pos += take
-            if pos >= k:
-                break
+    # vectorized ragged prefix-take: per (query, candidate) compute how many
+    # of the leaf's sentences still fit before k, then fill only the <= B*k
+    # (row, candidate) pairs that contribute — the naive per-(B, candidate)
+    # Python scan is ~30x more iterations at eval batch sizes
+    safe = np.maximum(leaf_nodes, 0)
+    ok = leaf_nodes >= 0
+    c = np.where(ok & (starts[safe] >= 0), counts[safe], 0)  # (B, L)
+    s = starts[safe]
+    off = np.cumsum(c, axis=1) - c                            # exclusive
+    take = np.clip(k - off, 0, c)
+    rows, cols = np.nonzero(take > 0)
+    for b, j in zip(rows.tolist(), cols.tolist()):
+        t = take[b, j]
+        o = off[b, j]
+        out[b, o:o + t] = sorder[s[b, j]:s[b, j] + t]
     return out

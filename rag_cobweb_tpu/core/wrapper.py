@@ -284,7 +284,9 @@ class CobwebIndex:
             ]
             return out[0] if single else out
         idx = self.build_prediction_index()
-        max_depth = max(self.max_depth, 1)
+        # bucket the scan depth (multiple of 4) so a deepening tree reuses
+        # compiled beam programs
+        max_depth = -(-max(self.max_depth, 1) // 4) * 4
         _, leaf_nodes = index_mod.beam_search_topk(
             idx, q, k, beam_width=beam_width, max_depth=max_depth
         )

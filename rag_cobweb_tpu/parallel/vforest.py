@@ -303,7 +303,9 @@ class VForest:
                 self.state, jnp.asarray(xs_p), jnp.asarray(keys_p),
                 self.cfg, jnp.asarray(R_full, jnp.int32),
             )
-            leaves = np.asarray(leaves)[:, :R_full]
+            # np.array (copy): jax->numpy views are read-only and the
+            # exact-path retry writes back into this buffer
+            leaves = np.array(leaves)[:, :R_full]
             retry(leaves, xs, all_keys[:, :R_full],
                   np.ones_like(leaves, bool))
             for s in range(K):
@@ -319,7 +321,7 @@ class VForest:
                 self.state, jnp.asarray(xs), all_keys[:, R_full],
                 jnp.asarray(rem_mask), self.cfg,
             )
-            leaf = np.asarray(leaf)[:, None]
+            leaf = np.array(leaf)[:, None]
             retry(leaf, xs[:, None], all_keys[:, R_full:R_full + 1],
                   rem_mask[:, None])
             leaf = leaf[:, 0]
@@ -369,7 +371,9 @@ class VForest:
         """Cross-lane beam retrieval -> (B, k) global sentence ids."""
         idx = self.build_index()
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
-        md = min(max_depth, max(self.max_depth(), 1))
+        # round the scan depth up to a multiple of 4 so a deepening forest
+        # reuses a handful of compiled beam programs instead of one per depth
+        md = min(max_depth, -(-max(self.max_depth(), 1) // 4) * 4)
         return vforest_beam_topk(idx, q, k, beam_width=beam_width,
                                  max_depth=md)
 

@@ -54,27 +54,44 @@ def main():
     sizes = sorted(int(s) for s in args.checkpoints.split(","))
     sizes = [s for s in sizes if s <= args.size]
 
-    t0 = time.perf_counter()
-    data = synthetic_retrieval(args.size, args.queries, args.dim,
-                               n_clusters=max(1024, args.size // 256))
-    print(f"[1m] synthetic data {data.corpus_embs.shape}: "
-          f"{time.perf_counter()-t0:.1f}s", flush=True)
+    # single-core synthetic generation + whitening cost ~15 min at 1M;
+    # cache the whitened arrays (reference embedding-cache pattern,
+    # benchmark_utils.py:143-168)
+    cache = (f"/tmp/mb_cache_s{args.size}_q{args.queries}_d{args.dim}"
+             f"_p{args.pca_dim}.npz")
+    if os.path.exists(cache):
+        t0 = time.perf_counter()
+        with np.load(cache) as z:
+            corpus_w, queries_w = z["corpus_w"], z["queries_w"]
+            target_ids = z["target_ids"]
+        print(f"[1m] cached whitened data {corpus_w.shape}: "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+    else:
+        t0 = time.perf_counter()
+        data = synthetic_retrieval(args.size, args.queries, args.dim,
+                                   n_clusters=max(1024, args.size // 256))
+        target_ids = data.target_ids
+        print(f"[1m] synthetic data {data.corpus_embs.shape}: "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
 
-    t0 = time.perf_counter()
-    wh = PCAICAWhiteningModel.fit(
-        data.corpus_embs[:100_000], pca_dim=args.pca_dim,
-        ica_max_iter=300, ica_sample_size=20000,
-    )
-    # transform on device in chunks (host matmul is single-core)
-    def transform_dev(X, chunk=131072):
-        outs = []
-        for s in range(0, len(X), chunk):
-            outs.append(np.asarray(wh.transform_jit(jnp.asarray(X[s:s+chunk]))))
-        return np.concatenate(outs)
-    corpus_w = transform_dev(data.corpus_embs)
-    queries_w = transform_dev(data.query_embs)
-    print(f"[1m] whiten fit+transform -> {corpus_w.shape}: "
-          f"{time.perf_counter()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        wh = PCAICAWhiteningModel.fit(
+            data.corpus_embs[:100_000], pca_dim=args.pca_dim,
+            ica_max_iter=300, ica_sample_size=20000,
+        )
+        # transform on device in chunks (host matmul is single-core)
+        def transform_dev(X, chunk=131072):
+            outs = []
+            for s in range(0, len(X), chunk):
+                outs.append(np.asarray(
+                    wh.transform_jit(jnp.asarray(X[s:s+chunk]))))
+            return np.concatenate(outs)
+        corpus_w = transform_dev(data.corpus_embs)
+        queries_w = transform_dev(data.query_embs)
+        print(f"[1m] whiten fit+transform -> {corpus_w.shape}: "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        np.savez(cache, corpus_w=corpus_w, queries_w=queries_w,
+                 target_ids=target_ids)
 
     K = args.vforest
     vf = VForest(TreeConfig(dim=corpus_w.shape[1]), n_subtrees=K,
@@ -103,9 +120,9 @@ def main():
               f"flatten {flat_s:.1f}s, blocked {blocked_s:.1f}s, "
               f"nodes {flat.num_nodes}", flush=True)
 
-        mask = data.target_ids < size
+        mask = target_ids < size
         q = queries_w[mask]
-        gold = data.target_ids[mask]
+        gold = target_ids[mask]
 
         def xla_blocked(qb, k):
             _, ids = index_mod.blocked_query_topk_rerank(
@@ -132,7 +149,7 @@ def main():
             flat_base = FlatIndex(corpus_w[:size], metric="l2")
             evals.append(("flat_exact_whitened",
                           lambda qb, k: flat_base.search(qb, k), q, gold))
-        for name, fn, qq, gg in evals:
+        def run_eval(name, fn, qq, gg):
             r = evaluate_retrieval(name, fn, qq, gg, args.k,
                                    batch_size=args.batch)
             row[f"{name}_recall@{args.k}"] = round(
@@ -143,6 +160,23 @@ def main():
             print(f"[1m]   {name}: recall@{args.k} "
                   f"{row[f'{name}_recall@{args.k}']} "
                   f"{row[f'{name}_ms']} ms/q", flush=True)
+
+        for name, fn, qq, gg in evals:
+            run_eval(name, fn, qq, gg)
+
+        # bf16 sweep + f32 leaf-lp re-rank: half the HBM traffic of the
+        # dominant term; built after the f32 evals (and replacing the f32
+        # blocked index) to stay inside HBM at 1M
+        del bidx
+        bidx16 = index_mod.build_blocked_index(flat, dtype=jnp.bfloat16)
+
+        def xla_bf16(qb, k):
+            _, ids = index_mod.blocked_query_topk_rerank(
+                bidx16, flat, jnp.asarray(qb), k, rerank=args.rerank)
+            return ids
+
+        run_eval("xla_blocked_bf16_rerank", xla_bf16, q, gold)
+        del bidx16
         results.append(row)
         print(json.dumps(row), flush=True)
 

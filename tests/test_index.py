@@ -186,3 +186,22 @@ def test_blocked_rerank_matches_gather_rerank(built):
     _, a = index_mod.query_topk_rerank(idx, q, 5, rerank=32)
     _, b = index_mod.blocked_query_topk_rerank(bidx, idx, q, 5, rerank=32)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_blocked_bf16_rerank_retrieves_own_points(built):
+    """bf16 sweep + f32 leaf-lp re-rank: approximate candidate scores,
+    exact final ranking (the half-HBM-traffic mode for 500k+)."""
+    import jax.numpy as jnp
+    tree, idx, xs, leaves = built
+    b16 = index_mod.build_blocked_index(idx, block_size=64,
+                                        dtype=jnp.bfloat16)
+    assert b16.ivt_b.dtype == jnp.bfloat16
+    q = jnp.asarray(xs[:16])
+    _, ids = index_mod.blocked_query_topk_rerank(b16, idx, q, 5, rerank=32)
+    for b in range(16):
+        assert b in np.asarray(ids)[b]
+    # agreement with the f32 engine after re-rank (same candidate pool on
+    # well-separated data)
+    bf32 = index_mod.build_blocked_index(idx, block_size=64)
+    _, want = index_mod.blocked_query_topk_rerank(bf32, idx, q, 5, rerank=32)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(want))

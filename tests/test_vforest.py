@@ -212,3 +212,24 @@ def test_flat_index_matches_vforest_query(data):
     from rag_cobweb_tpu.ops.pallas_query import pallas_blocked_topk
     _, pids = pallas_blocked_topk(bidx, qs, 5, interpret=True)
     np.testing.assert_array_equal(np.asarray(bids), np.asarray(pids))
+
+
+def test_exact_path_retry_on_scan_budget(data):
+    """Descents deeper than the scan budget retry through the exact path;
+    the leaf buffer must be writable (np.array copy of the device output —
+    regression: np.asarray gives a read-only jax view, crashing the first
+    1M-scale build whose trees exceeded _MAX_STEPS)."""
+    from rag_cobweb_tpu.parallel import vforest as vf_mod
+    old = vf_mod._MAX_STEPS
+    try:
+        vf_mod._MAX_STEPS = 3  # force truncation -> retries
+        vf = VForest(TreeConfig(dim=16), n_subtrees=4,
+                     capacity_per_tree=512, seed=0)
+        vf.add(data[:120])
+        st = jax.device_get(vf.state)
+        for s in range(4):
+            assert float(st.counts[s, int(st.root[s])]) == 30
+        _, gids = vf.query_topk(data[:8], k=5)
+        assert all(b in gids[b] for b in range(8))
+    finally:
+        vf_mod._MAX_STEPS = old
