@@ -74,24 +74,76 @@ def build_index(
     level weights normalized by path length, prior-var for empty nodes).
     """
     st = jax.tree.map(np.asarray, tree.state)
-    cfg = tree.cfg
+    return _build_index_from_arrays(
+        tree.cfg, st.children, st.parent, st.counts, st.means, st.m2s,
+        np.asarray([int(st.root)], np.int32), leaf_of_sentence,
+        level_weights, pad_depth_to, as_numpy,
+    )
 
+
+def build_flat_forest_index(
+    cfg,
+    stacked_state,
+    leaf_of_sentence_global: np.ndarray,
+    level_weights: Sequence[float] = DEFAULT_LEVEL_WEIGHTS,
+    pad_depth_to: int = 4,
+    as_numpy: bool = False,
+) -> PredictionIndex:
+    """ONE PredictionIndex over a whole K-lane stacked forest state.
+
+    Lane l's node ids are offset by ``l * capacity`` and the multi-root BFS
+    numbers every lane's live nodes in one pass — the O(K) per-lane index
+    builds + pad/stack/concat of the old flatten path collapse into the
+    same handful of vectorized numpy ops ``build_index`` uses for one tree
+    (measured: 468 s -> seconds at 500k sentences / 256 lanes).
+
+    ``leaf_of_sentence_global[s]`` is ``lane * capacity + local_leaf``.
+    Like ``merge_stacked_to_flat``, the result drives every flat query
+    engine but NOT ``beam_search_topk`` (no single root).
+    """
+    st = jax.tree.map(np.asarray, stacked_state)
+    K, cap = st.counts.shape
+    offs = (np.arange(K, dtype=np.int64) * cap)[:, None, None]
+    children = np.where(st.children >= 0, st.children + offs, -1)
+    children = children.reshape(K * cap, -1).astype(np.int32)
+    parent = np.where(st.parent >= 0, st.parent + offs[:, :, 0], -1)
+    parent = parent.reshape(K * cap).astype(np.int32)
+    roots = (np.arange(K, dtype=np.int64) * cap + np.asarray(st.root)
+             ).astype(np.int32)
+    return _build_index_from_arrays(
+        cfg, children, parent, st.counts.reshape(K * cap),
+        st.means.reshape(K * cap, -1), st.m2s.reshape(K * cap, -1),
+        roots, leaf_of_sentence_global, level_weights, pad_depth_to,
+        as_numpy,
+    )
+
+
+def _build_index_from_arrays(
+    cfg, children, parent, counts_arr, means_arr, m2s_arr,
+    roots: np.ndarray,
+    leaf_of_sentence: np.ndarray,
+    level_weights: Sequence[float] = DEFAULT_LEVEL_WEIGHTS,
+    pad_depth_to: int = 4,
+    as_numpy: bool = False,
+) -> PredictionIndex:
+    """Shared core of ``build_index`` / ``build_flat_forest_index``: BFS
+    numbering (from one root or K forest roots), vectorized parent-chase
+    paths, stats compaction."""
     # --- BFS over live nodes -> compact numbering -------------------------
     # Level-synchronous vectorized BFS: each level is ONE fancy-index gather
     # of the children table (row-major ravel preserves the queue-BFS order:
     # parents in frontier order, siblings in slot order), so the host work
     # is O(max_depth) numpy ops instead of an O(N) Python loop — this is
     # what keeps index refresh sub-second at 100k+ sentences.
-    root = int(st.root)
-    levels = [np.asarray([root], np.int32)]
+    levels = [np.asarray(roots, np.int32)]
     while True:
-        kids = st.children[levels[-1]].ravel()
+        kids = children[levels[-1]].ravel()
         kids = kids[kids >= 0]
         if kids.size == 0:
             break
         levels.append(kids.astype(np.int32))
     order_arr = np.concatenate(levels)
-    compact_of = np.full((st.counts.shape[0],), -1, np.int32)
+    compact_of = np.full((counts_arr.shape[0],), -1, np.int32)
     compact_of[order_arr] = np.arange(len(order_arr), dtype=np.int32)
 
     n_live = len(order_arr)
@@ -108,7 +160,7 @@ def build_index(
         bad = np.where(leaf_compact < 0)[0]
         raise ValueError(f"sentences {bad[:5]} map to dead tree nodes")
     parent_compact = np.full((n_live,), -1, np.int32)
-    live_parents = st.parent[order_arr]
+    live_parents = parent[order_arr]
     has_parent = live_parents >= 0
     parent_compact[has_parent] = compact_of[live_parents[has_parent]]
 
@@ -152,9 +204,9 @@ def build_index(
     # host numpy + a single device_put of the final arrays is faster at
     # every size measured (mirrors ops/gaussian.compute_var +
     # node_log_prob_terms exactly)
-    means = st.means[order_arr].astype(np.float32)
-    m2s = st.m2s[order_arr]
-    counts = st.counts[order_arr]
+    means = means_arr[order_arr].astype(np.float32)
+    m2s = m2s_arr[order_arr]
+    counts = counts_arr[order_arr]
     safe_count = np.where(counts > 0, counts, 1.0)[:, None]
     ml_var = m2s / safe_count
     if cfg.acuity_cutoff:
@@ -168,7 +220,7 @@ def build_index(
     const_h = -0.5 * (np.sum(np.square(means) * inv_var, axis=-1)
                       + np.sum(np.log(vars_), axis=-1))
     # compact children table
-    kids = st.children[order_arr]  # (N_live, F) raw idx
+    kids = children[order_arr]  # (N_live, F) raw idx
     kids_compact = np.where(kids >= 0, compact_of[np.maximum(kids, 0)], -1).astype(
         np.int32
     )
@@ -323,45 +375,61 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
     TS = block_size
     NB = max(1, -(-S // TS))
 
-    local_nodes: list[np.ndarray] = []
-    W_blocks = []
-    valid = np.zeros((NB, TS), bool)
-    sid_of_slot = np.zeros((NB, TS), np.int64)
-    max_m = 0
-    per_block = []
-    for b in range(NB):
-        sids = order[b * TS:(b + 1) * TS]
-        n = len(sids)
-        valid[b, :n] = True
-        sid_of_slot[b, :n] = sids
-        bp = paths[sids]                            # (n, P)
-        bw = weights[sids]
-        nodes = np.unique(bp[bp >= 0])
-        max_m = max(max_m, len(nodes))
-        per_block.append((nodes, bp, bw, n))
+    # pad the leaf-ordered sentence list to NB*TS and gather block paths —
+    # everything below is batched numpy over ALL blocks at once (the
+    # per-block Python loop with np.unique cost minutes at 1M sentences)
+    order_pad = np.full((NB * TS,), -1, np.int64)
+    order_pad[:S] = order
+    valid = (order_pad >= 0).reshape(NB, TS)
+    sid_of_slot = np.maximum(order_pad, 0).reshape(NB, TS)
+    bp = np.where(valid.reshape(-1, 1), paths[np.maximum(order_pad, 0)[:, None],
+                                              np.arange(P)[None, :]], -1)
+    bw = np.where(valid.reshape(-1, 1),
+                  weights[np.maximum(order_pad, 0)[:, None],
+                          np.arange(P)[None, :]], 0.0)
+    flat = bp.reshape(NB, TS * P).astype(np.int64)    # -1 = padding
 
-    M = -(-max_m // node_pad) * node_pad
+    # batched per-block unique: sort each row, mark firsts, rank via cumsum
+    SENT = np.iinfo(np.int64).max
+    keyed = np.where(flat >= 0, flat, SENT)
+    ord_idx = np.argsort(keyed, axis=1, kind="stable")
+    skey = np.take_along_axis(keyed, ord_idx, 1)
+    is_new = np.empty_like(skey, dtype=bool)
+    is_new[:, 0] = skey[:, 0] != SENT
+    is_new[:, 1:] = (skey[:, 1:] != skey[:, :-1]) & (skey[:, 1:] != SENT)
+    local_sorted = np.cumsum(is_new, axis=1) - 1      # rank among uniques
+    m_per_block = is_new.sum(1)
+    max_m = int(m_per_block.max(initial=1))
+    M = -(-max(max_m, 1) // node_pad) * node_pad
+
+    # per-block unique node ids, padded to M (pad rows point at node 0 but
+    # are never addressed by W, and their stats are overwritten below)
+    nodes_pad = np.zeros((NB, M), np.int64)
+    rows_b, cols_b = np.nonzero(is_new)
+    nodes_pad[rows_b, local_sorted[rows_b, cols_b]] = skey[rows_b, cols_b]
+
+    # local index of every (slot, hop) path entry, then ONE global
+    # scatter-add into W
+    local = np.empty_like(local_sorted)
+    np.put_along_axis(local, ord_idx, np.maximum(local_sorted, 0), 1)
+    local = local.reshape(NB, TS, P)
+    ok = bp.reshape(NB, TS, P) >= 0
+    W = np.zeros((NB, M, TS), np.float32)
+    blk_i, slot_i, hop_i = np.nonzero(ok)
+    np.add.at(W, (blk_i, local[blk_i, slot_i, hop_i], slot_i),
+              bw.reshape(NB, TS, P)[blk_i, slot_i, hop_i])
+
     ivt = np.asarray(index.inv_var_T)               # (D, N)
     movt = np.asarray(index.mu_over_var_T)
     const = np.asarray(index.const)
-    D = ivt.shape[0]
 
-    ivt_b = np.ones((NB, M, D), np.float32)
-    movt_b = np.zeros((NB, M, D), np.float32)
-    const_b = np.zeros((NB, M), np.float32)
-    W = np.zeros((NB, M, TS), np.float32)
-    for b, (nodes, bp, bw, n) in enumerate(per_block):
-        lut = np.full(int(nodes.max(initial=0)) + 2, -1, np.int64)
-        lut[nodes] = np.arange(len(nodes))
-        ivt_b[b, : len(nodes)] = ivt[:, nodes].T
-        movt_b[b, : len(nodes)] = movt[:, nodes].T
-        const_b[b, : len(nodes)] = const[nodes]
-        # vectorized scatter-add of the (n, P) path weights into (M, TS)
-        t_idx = np.repeat(np.arange(n), P)
-        flat_nodes = bp[:n].reshape(-1)
-        ok = flat_nodes >= 0
-        np.add.at(W[b], (lut[flat_nodes[ok]], t_idx[ok]),
-                  bw[:n].reshape(-1)[ok])
+    pad_mask = np.arange(M)[None, :] >= m_per_block[:, None]
+    ivt_b = np.ascontiguousarray(ivt.T[nodes_pad])      # (NB, M, D)
+    ivt_b[pad_mask] = 1.0
+    movt_b = np.ascontiguousarray(movt.T[nodes_pad])
+    movt_b[pad_mask] = 0.0
+    const_b = const[nodes_pad]
+    const_b[pad_mask] = 0.0
 
     return BlockedIndex(
         ivt_b=jnp.asarray(ivt_b, dtype), movt_b=jnp.asarray(movt_b, dtype),

@@ -339,6 +339,7 @@ class VForest:
             next_round[s] += 1
         self.n_sentences += B
         self._stacked_index = None
+        self._flat_index = None
         return gids
 
     def build_index(self) -> StackedIndex:
@@ -352,12 +353,26 @@ class VForest:
 
     def flat_index(self) -> "index_mod.PredictionIndex":
         """The whole forest flattened to one PredictionIndex over global
-        sentence ids (parallel/forest.merge_stacked_to_flat) — drives the
-        blocked-MXU / Pallas / re-rank query engines at scale."""
-        from rag_cobweb_tpu.parallel.forest import merge_stacked_to_flat
-        stacked = self.build_index()
+        sentence ids — drives the blocked-MXU / Pallas / re-rank query
+        engines at scale.
+
+        Built DIRECTLY from the stacked state via the multi-root vectorized
+        BFS (core/index.build_flat_forest_index): one pass over all lanes
+        at once, instead of K per-lane index builds + pad/stack/flatten
+        (which cost ~470 s at 500k sentences / 256 lanes)."""
         if getattr(self, "_flat_index", None) is None:
-            self._flat_index = merge_stacked_to_flat(stacked)
+            st = jax.device_get(self.state)
+            cap = st.counts.shape[1]
+            n_local = max(
+                (len(l) for l in self._leaf_of_local), default=0)
+            leaf_mat = np.full((self.K, max(n_local, 1)), -1, np.int64)
+            for s, lst in enumerate(self._leaf_of_local):
+                leaf_mat[s, :len(lst)] = lst
+            shard = np.asarray(self.shard_of, np.int64)
+            local = np.asarray(self.local_sid, np.int64)
+            leaf_global = shard * cap + leaf_mat[shard, local]
+            self._flat_index = index_mod.build_flat_forest_index(
+                self.cfg, st, leaf_global)
         return self._flat_index
 
     def query_topk(self, queries: np.ndarray, k: int):
