@@ -37,17 +37,18 @@ _MAX_STEPS = 16  # scan trip count; descents needing more retry exactly
 
 
 def _vinsert_round(st, xs_r, keys_r, cfg: TreeConfig,
-                   mask: Optional[jnp.ndarray] = None):
+                   mask: Optional[jnp.ndarray] = None,
+                   max_steps: int = _MAX_STEPS):
     """One vmapped round: every lane runs the scan-structured read-only
     descent against the frozen stacked state (core/tree.py
     ``_descend_collect_scan`` — no per-lane scatters), then ALL lanes'
     deltas replay in one batched last-writer-wins scatter pass
     (``_apply_dbuf_batched``).  Lanes whose descent did not finish within
     the scan budget (leaf == -1) are suppressed entirely — the caller
-    retries them through the exact path."""
+    retries them in deeper-budget waves."""
     dbufs, steps, leaves = jax.vmap(
         lambda s, x, k: tree_mod._descend_collect_scan(
-            s, x, k, cfg, max_steps=_MAX_STEPS)
+            s, x, k, cfg, max_steps=max_steps)
     )(st, xs_r, keys_r)
     ok = leaves >= 0
     if mask is not None:
@@ -82,12 +83,17 @@ def vinsert_rounds(st, xs: jnp.ndarray, keys: jax.Array, cfg: TreeConfig,
                              (st, leaves0))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
 def vinsert_masked_round(st, xs: jnp.ndarray, keys: jax.Array,
-                         mask: jnp.ndarray, cfg: TreeConfig):
-    """One round where only ``mask``ed lanes insert (the ragged
-    remainder)."""
-    return _vinsert_round(st, xs, keys, cfg, mask=mask)
+                         mask: jnp.ndarray, cfg: TreeConfig,
+                         max_steps: int = _MAX_STEPS):
+    """One round where only ``mask``ed lanes insert (the ragged remainder,
+    and — with ``max_steps=_DEEP_STEPS`` — the batched retry waves for
+    descents the normal scan budget truncated)."""
+    return _vinsert_round(st, xs, keys, cfg, mask=mask, max_steps=max_steps)
+
+
+_DEEP_STEPS = 48  # retry-wave scan budget (matches the exact path's cap)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -281,13 +287,39 @@ class VForest:
         )
 
         def retry(leaves, xs_kr, keys_kr, valid):
-            """Exact-path retry of descents the scan budget truncated."""
-            for s, r in np.argwhere((leaves < 0) & valid):
-                self.state, leaf = _insert_one_lane(
-                    self.state, jnp.asarray(int(s), jnp.int32),
-                    jnp.asarray(xs_kr[s, r]), keys_kr[s, r], self.cfg,
+            """Batched retry of descents the scan budget truncated: one
+            deeper-scan (``_DEEP_STEPS``) masked vmapped round retries up to
+            one instance PER LANE per wave — a wave costs ~3x a normal
+            round, vs the old per-instance exact path whose
+            ``.at[lane].set`` copied the entire stacked state (measured
+            60-90 ms warm per retry; retries at depth>budget are what
+            dragged the 1M build from ~14k/s rounds to ~1.7k/s)."""
+            lanes = np.arange(K)
+            need = (leaves < 0) & valid
+            while need.any():
+                r_sel = np.argmax(need, axis=1)          # first pending
+                lane_mask = need.any(axis=1)
+                xs_w = np.ascontiguousarray(xs_kr[lanes, r_sel])
+                keys_w = keys_kr[lanes, r_sel]
+                self.state, leaf = vinsert_masked_round(
+                    self.state, jnp.asarray(xs_w), keys_w,
+                    jnp.asarray(lane_mask), self.cfg,
+                    max_steps=_DEEP_STEPS,
                 )
-                leaves[s, r] = int(leaf)
+                leaf = np.asarray(leaf)
+                hit = lane_mask & (leaf >= 0)
+                leaves[lanes[hit], r_sel[hit]] = leaf[hit]
+                need[lanes[hit], r_sel[hit]] = False
+                # pathological >_DEEP_STEPS descents: exact path, one-off
+                still = lane_mask & (leaf < 0)
+                for s in np.nonzero(still)[0]:
+                    self.state, lf = _insert_one_lane(
+                        self.state, jnp.asarray(int(s), jnp.int32),
+                        jnp.asarray(xs_kr[s, r_sel[s]]),
+                        keys_kr[s, r_sel[s]], self.cfg,
+                    )
+                    leaves[s, r_sel[s]] = int(lf)
+                    need[s, r_sel[s]] = False
 
         leaves_by_lane = [[] for _ in range(K)]
         if R_full:
