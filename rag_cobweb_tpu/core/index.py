@@ -103,18 +103,25 @@ def build_flat_forest_index(
     """
     st = jax.tree.map(np.asarray, stacked_state)
     K, cap = st.counts.shape
-    offs = (np.arange(K, dtype=np.int64) * cap)[:, None, None]
-    children = np.where(st.children >= 0, st.children + offs, -1)
-    children = children.reshape(K * cap, -1).astype(np.int32)
-    parent = np.where(st.parent >= 0, st.parent + offs[:, :, 0], -1)
-    parent = parent.reshape(K * cap).astype(np.int32)
-    roots = (np.arange(K, dtype=np.int64) * cap + np.asarray(st.root)
-             ).astype(np.int32)
+    offs = (np.arange(K, dtype=np.int32) * cap)[:, None, None]
+    children = np.where(st.children >= 0, st.children + offs, np.int32(-1))
+    children = np.asarray(children.reshape(K * cap, -1), np.int32)
+    parent = np.where(st.parent >= 0, st.parent + offs[:, :, 0],
+                      np.int32(-1))
+    parent = np.asarray(parent.reshape(K * cap), np.int32)
+    roots = np.asarray(np.arange(K, dtype=np.int32) * cap
+                       + np.asarray(st.root), np.int32)
+    # sentence_order must group leaves LANE-MAJOR: the multi-root BFS
+    # numbers nodes level-interleaved across lanes, so ordering by compact
+    # id would make every ~512-sentence block of the blocked index span
+    # many subtrees — the per-block unique-node count (and with it the
+    # padded M of ALL blocks) explodes.  Raw global ids are lane-major.
     return _build_index_from_arrays(
         cfg, children, parent, st.counts.reshape(K * cap),
         st.means.reshape(K * cap, -1), st.m2s.reshape(K * cap, -1),
         roots, leaf_of_sentence_global, level_weights, pad_depth_to,
         as_numpy,
+        lane_of_sentence=np.asarray(leaf_of_sentence_global) // cap,
     )
 
 
@@ -125,10 +132,12 @@ def _build_index_from_arrays(
     level_weights: Sequence[float] = DEFAULT_LEVEL_WEIGHTS,
     pad_depth_to: int = 4,
     as_numpy: bool = False,
+    lane_of_sentence: Optional[np.ndarray] = None,
 ) -> PredictionIndex:
     """Shared core of ``build_index`` / ``build_flat_forest_index``: BFS
     numbering (from one root or K forest roots), vectorized parent-chase
-    paths, stats compaction."""
+    paths, stats compaction.  ``lane_of_sentence`` (forest builds) makes
+    the leaf grouping lane-major, subtree-contiguous within each lane."""
     # --- BFS over live nodes -> compact numbering -------------------------
     # Level-synchronous vectorized BFS: each level is ONE fancy-index gather
     # of the children table (row-major ravel preserves the queue-BFS order:
@@ -141,7 +150,7 @@ def _build_index_from_arrays(
         kids = kids[kids >= 0]
         if kids.size == 0:
             break
-        levels.append(kids.astype(np.int32))
+        levels.append(np.asarray(kids, np.int32))
     order_arr = np.concatenate(levels)
     compact_of = np.full((counts_arr.shape[0],), -1, np.int32)
     compact_of[order_arr] = np.arange(len(order_arr), dtype=np.int32)
@@ -176,7 +185,8 @@ def _build_index_from_arrays(
     rows = np.arange(S)[:, None]
     pos = np.arange(P)[None, :]
     src = path_len[:, None] - 1 - pos
-    paths = np.where(src >= 0, chains[rows, np.maximum(src, 0)], -1).astype(np.int32)
+    paths = np.where(src >= 0, chains[rows, np.maximum(src, 0)],
+                     np.int32(-1))
 
     lw = np.ones((P,), np.float32)
     lw[: min(len(level_weights), P)] = np.asarray(
@@ -187,7 +197,12 @@ def _build_index_from_arrays(
     ).astype(np.float32)
 
     # --- sentence run-length layout per leaf (for beam search) ------------
-    sent_order = np.argsort(leaf_compact, kind="stable").astype(np.int32)
+    if lane_of_sentence is not None:
+        sort_key = (lane_of_sentence.astype(np.int64) * (n_live + 1)
+                    + leaf_compact)
+    else:
+        sort_key = leaf_compact
+    sent_order = np.argsort(sort_key, kind="stable").astype(np.int32)
     sorted_leaves = leaf_compact[sent_order]
     leaf_start = np.full((n_live,), -1, np.int32)
     leaf_count = np.zeros((n_live,), np.int32)
@@ -204,21 +219,24 @@ def _build_index_from_arrays(
     # host numpy + a single device_put of the final arrays is faster at
     # every size measured (mirrors ops/gaussian.compute_var +
     # node_log_prob_terms exactly)
-    means = means_arr[order_arr].astype(np.float32)
-    m2s = m2s_arr[order_arr]
+    # transpose-first: ONE strided copy per stat array; every elementwise
+    # pass below then runs on contiguous (D, N) rows, and the final
+    # inv_var_T / mu_over_var_T need no second copy (same-dtype .astype /
+    # trailing ascontiguousarray(x.T) each cost seconds at 500k+ nodes)
+    means = np.asarray(means_arr[order_arr].T, np.float32, order="C")
+    m2s_T = np.ascontiguousarray(m2s_arr[order_arr].T)
     counts = counts_arr[order_arr]
-    safe_count = np.where(counts > 0, counts, 1.0)[:, None]
-    ml_var = m2s / safe_count
+    safe_count = np.where(counts > 0, counts, np.float32(1.0))[None, :]
+    ml_var = m2s_T / safe_count
     if cfg.acuity_cutoff:
-        vars_ = np.maximum(ml_var, cfg.prior_var)
+        vars_ = np.maximum(ml_var, np.float32(cfg.prior_var))
     else:
-        vars_ = ml_var + cfg.prior_var
-    vars_ = np.where(counts[:, None] > 0, vars_, cfg.prior_var).astype(
-        np.float32)
+        vars_ = ml_var + np.float32(cfg.prior_var)
+    vars_ = np.where(counts[None, :] > 0, vars_, np.float32(cfg.prior_var))
     inv_var = 1.0 / vars_
     mu_over_var = means * inv_var
-    const_h = -0.5 * (np.sum(np.square(means) * inv_var, axis=-1)
-                      + np.sum(np.log(vars_), axis=-1))
+    const_h = -0.5 * (np.sum(np.square(means) * inv_var, axis=0)
+                      + np.sum(np.log(vars_), axis=0))
     # compact children table
     kids = children[order_arr]  # (N_live, F) raw idx
     kids_compact = np.where(kids >= 0, compact_of[np.maximum(kids, 0)], -1).astype(
@@ -230,8 +248,8 @@ def _build_index_from_arrays(
     # per-lane device round trip
     wrap = np.ascontiguousarray if as_numpy else jnp.asarray
     return PredictionIndex(
-        inv_var_T=wrap(inv_var.T),
-        mu_over_var_T=wrap(mu_over_var.T),
+        inv_var_T=wrap(inv_var),
+        mu_over_var_T=wrap(mu_over_var),
         const=wrap(const_h.astype(np.float32)),
         paths=wrap(paths),
         path_weights=wrap(weights),

@@ -71,7 +71,20 @@ class TreeState(NamedTuple):
         return self.children.shape[1]
 
 
+def align_capacity(n: int) -> int:
+    """Round a node capacity up to a TPU-tile-friendly size.
+
+    Gathers/scatters on the (cap, D) state arrays degrade ~7x when cap is
+    not sublane-aligned (measured 130 ms vs 18-25 ms per 256-lane vforest
+    round at cap=7876 vs 7880/8192 on v5e): align to the f32 sublane tile
+    (8), and to 256 once the array is large enough that the extra rows are
+    noise."""
+    q = 256 if n >= 2048 else 8
+    return -(-int(n) // q) * q
+
+
 def init_state(capacity: int, dim: int, fanout: int) -> TreeState:
+    capacity = align_capacity(capacity)
     """Empty tree: root node allocated with count 0 (CobwebTorchTree.clear :43-50)."""
     return TreeState(
         counts=jnp.zeros((capacity,), jnp.float32),
@@ -721,7 +734,7 @@ class CobwebTree:
         needed = int(st.n_alloc) + 2 * n_new + 8
         if needed <= st.capacity:
             return
-        new_cap = max(needed, st.capacity * 2)
+        new_cap = align_capacity(max(needed, st.capacity * 2))
         pad = new_cap - st.capacity
         self.state = TreeState(
             counts=jnp.concatenate([st.counts, jnp.zeros((pad,), jnp.float32)]),

@@ -62,6 +62,32 @@ def _kernel(q_ref, q2_ref, ivt_ref, movt_ref, const_ref, w_ref, valid_ref,
         scores = jnp.where(lane == a[:, None], NEG, scores)
 
 
+VMEM_BUDGET = 14 * 2**20  # conservative slice of the 16 MB scoped limit
+
+
+def pallas_vmem_estimate(bidx: BlockedIndex, n_queries: int,
+                         block_k: int) -> int:
+    """Rough per-invocation VMEM footprint of ``pallas_blocked_topk``:
+    double-buffered per-block inputs + resident query/intermediate tiles.
+    Callers should fall back to the XLA blocked path when this exceeds
+    ``VMEM_BUDGET`` (observed hard failure: M=1920 blocks -> 19.95 MB
+    scoped-vmem OOM at the 16 MB limit)."""
+    NB, M, D = bidx.ivt_b.shape
+    TS = bidx.W.shape[2]
+    B = n_queries
+    itemsize = bidx.ivt_b.dtype.itemsize
+    per_block = (2 * M * D + M * TS) * itemsize * 2  # dbl-buffered streams
+    per_block += (M + TS) * 4 * 2
+    resident = 2 * B * D * 4                          # q, q^2
+    inter = B * (M + TS) * 4 + 2 * B * block_k * 4 * 2
+    return per_block + resident + inter
+
+
+def pallas_fits_vmem(bidx: BlockedIndex, n_queries: int,
+                     block_k: int) -> bool:
+    return pallas_vmem_estimate(bidx, n_queries, block_k) <= VMEM_BUDGET
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "block_k"))
 def pallas_blocked_topk(bidx: BlockedIndex, queries: jnp.ndarray, k: int,
                         interpret: bool = False, block_k: int = 0):

@@ -59,9 +59,9 @@ def _vinsert_round(st, xs_r, keys_r, cfg: TreeConfig,
     return st, jnp.where(ok, leaves, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
 def vinsert_rounds(st, xs: jnp.ndarray, keys: jax.Array, cfg: TreeConfig,
-                   n_rounds=None):
+                   n_rounds=None, max_steps: int = _MAX_STEPS):
     """Insert xs[:, r] into subtree lane k for round r < n_rounds.
 
     st: stacked TreeState (leading axis K); xs: (K, R, D); keys: (K, R, 2).
@@ -75,12 +75,34 @@ def vinsert_rounds(st, xs: jnp.ndarray, keys: jax.Array, cfg: TreeConfig,
 
     def body(r, carry):
         st, leaves = carry
-        st, leaf = _vinsert_round(st, xs[:, r], keys[:, r], cfg)
+        st, leaf = _vinsert_round(st, xs[:, r], keys[:, r], cfg,
+                                  max_steps=max_steps)
         return st, leaves.at[:, r].set(leaf)
 
     leaves0 = jnp.full((K, R), -1, jnp.int32)
     return jax.lax.fori_loop(0, jnp.minimum(n_rounds, R), body,
                              (st, leaves0))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
+def vinsert_rounds_masked(st, xs: jnp.ndarray, keys: jax.Array,
+                          mask: jnp.ndarray, cfg: TreeConfig,
+                          max_steps: int = _MAX_STEPS):
+    """Per-round-masked variant of ``vinsert_rounds`` (mask: (K, R) bool).
+    One jit call runs ALL retry rounds for a packed pending set — at scale
+    15-25%% of descents exceed the primary scan budget, and dispatching a
+    masked round per wave from the host paid a ~60 ms relay round-trip
+    each."""
+    K, R, D = xs.shape
+
+    def body(r, carry):
+        st, leaves = carry
+        st, leaf = _vinsert_round(st, xs[:, r], keys[:, r], cfg,
+                                  mask=mask[:, r], max_steps=max_steps)
+        return st, leaves.at[:, r].set(leaf)
+
+    leaves0 = jnp.full((K, R), -1, jnp.int32)
+    return jax.lax.fori_loop(0, R, body, (st, leaves0))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
@@ -243,6 +265,12 @@ class VForest:
         ]
         self._stacked_index: Optional[StackedIndex] = None
         self._flat_index = None
+        # adaptive primary scan budget: starts at _MAX_STEPS, escalates
+        # (16 -> 24 -> 32 -> 48) when the EMA of the deep-descent fraction
+        # exceeds 8% — a deeper scan costs ~linearly more per round but
+        # beats paying a retry pass for a fifth of the instances
+        self._budget = _MAX_STEPS
+        self._deep_frac = 0.0
 
     def _ensure_capacity(self, rounds: int):
         """Grow every lane's node arrays when the next rounds could
@@ -252,7 +280,7 @@ class VForest:
         needed = int(jnp.max(st.n_alloc)) + 2 * rounds + 8
         if needed <= cap:
             return
-        new_cap = max(needed, 2 * cap)
+        new_cap = tree_mod.align_capacity(max(needed, 2 * cap))
         pad = new_cap - cap
         K, D, F = st.counts.shape[0], st.means.shape[2], st.children.shape[2]
 
@@ -287,39 +315,53 @@ class VForest:
         )
 
         def retry(leaves, xs_kr, keys_kr, valid):
-            """Batched retry of descents the scan budget truncated: one
-            deeper-scan (``_DEEP_STEPS``) masked vmapped round retries up to
-            one instance PER LANE per wave — a wave costs ~3x a normal
-            round, vs the old per-instance exact path whose
-            ``.at[lane].set`` copied the entire stacked state (measured
-            60-90 ms warm per retry; retries at depth>budget are what
-            dragged the 1M build from ~14k/s rounds to ~1.7k/s)."""
-            lanes = np.arange(K)
+            """Retry descents the primary scan budget truncated: pack the
+            pending instances per lane and run ALL retry rounds in ONE
+            ``vinsert_rounds_masked`` call with the 48-step budget (at
+            scale 15-25%% of mature-tree descents exceed 16 steps; both
+            the old per-instance exact path — a whole-stacked-state copy,
+            60-90 ms each — and one-masked-round-per-wave host dispatch
+            were the dominant build cost).  Escalates the primary budget
+            when the deep fraction stays high."""
             need = (leaves < 0) & valid
-            while need.any():
-                r_sel = np.argmax(need, axis=1)          # first pending
-                lane_mask = need.any(axis=1)
-                xs_w = np.ascontiguousarray(xs_kr[lanes, r_sel])
-                keys_w = keys_kr[lanes, r_sel]
-                self.state, leaf = vinsert_masked_round(
-                    self.state, jnp.asarray(xs_w), keys_w,
-                    jnp.asarray(lane_mask), self.cfg,
-                    max_steps=_DEEP_STEPS,
+            n_deep = int(need.sum())
+            self._deep_frac = 0.7 * self._deep_frac + 0.3 * (
+                n_deep / max(int(valid.sum()), 1))
+            if self._deep_frac > 0.08 and self._budget < _DEEP_STEPS:
+                self._budget = {16: 24, 24: 32, 32: 48}[self._budget]
+            if not n_deep:
+                return
+            keys_np = np.asarray(keys_kr)
+            pend = need.sum(1)
+            R2 = int(pend.max())
+            R2b = max(4, 1 << (R2 - 1).bit_length())     # bucketed shape
+            D = xs_kr.shape[2]
+            xs2 = np.zeros((K, R2b, D), np.float32)
+            keys2 = np.zeros((K, R2b, keys_np.shape[2]), keys_np.dtype)
+            mask2 = np.zeros((K, R2b), bool)
+            src = np.zeros((K, R2b), np.int64)
+            for s in range(K):
+                idx = np.nonzero(need[s])[0]
+                if len(idx):
+                    xs2[s, :len(idx)] = xs_kr[s, idx]
+                    keys2[s, :len(idx)] = keys_np[s, idx]
+                    mask2[s, :len(idx)] = True
+                    src[s, :len(idx)] = idx
+            self.state, leaf2 = vinsert_rounds_masked(
+                self.state, jnp.asarray(xs2), jnp.asarray(keys2),
+                jnp.asarray(mask2), self.cfg, max_steps=_DEEP_STEPS,
+            )
+            leaf2 = np.asarray(leaf2)
+            rows, cols = np.nonzero(mask2 & (leaf2 >= 0))
+            leaves[rows, src[rows, cols]] = leaf2[rows, cols]
+            # pathological >_DEEP_STEPS descents: exact path, one-off
+            for s, c in np.argwhere(mask2 & (leaf2 < 0)):
+                self.state, lf = _insert_one_lane(
+                    self.state, jnp.asarray(int(s), jnp.int32),
+                    jnp.asarray(xs2[s, c]), jnp.asarray(keys2[s, c]),
+                    self.cfg,
                 )
-                leaf = np.asarray(leaf)
-                hit = lane_mask & (leaf >= 0)
-                leaves[lanes[hit], r_sel[hit]] = leaf[hit]
-                need[lanes[hit], r_sel[hit]] = False
-                # pathological >_DEEP_STEPS descents: exact path, one-off
-                still = lane_mask & (leaf < 0)
-                for s in np.nonzero(still)[0]:
-                    self.state, lf = _insert_one_lane(
-                        self.state, jnp.asarray(int(s), jnp.int32),
-                        jnp.asarray(xs_kr[s, r_sel[s]]),
-                        keys_kr[s, r_sel[s]], self.cfg,
-                    )
-                    leaves[s, r_sel[s]] = int(lf)
-                    need[s, r_sel[s]] = False
+                leaves[s, src[s, c]] = int(lf)
 
         leaves_by_lane = [[] for _ in range(K)]
         if R_full:
@@ -334,6 +376,7 @@ class VForest:
             self.state, leaves = vinsert_rounds(
                 self.state, jnp.asarray(xs_p), jnp.asarray(keys_p),
                 self.cfg, jnp.asarray(R_full, jnp.int32),
+                max_steps=self._budget,
             )
             # np.array (copy): jax->numpy views are read-only and the
             # exact-path retry writes back into this buffer
@@ -352,6 +395,7 @@ class VForest:
             self.state, leaf = vinsert_masked_round(
                 self.state, jnp.asarray(xs), all_keys[:, R_full],
                 jnp.asarray(rem_mask), self.cfg,
+                max_steps=self._budget,
             )
             leaf = np.array(leaf)[:, None]
             retry(leaf, xs[:, None], all_keys[:, R_full:R_full + 1],

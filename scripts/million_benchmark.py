@@ -131,7 +131,10 @@ def main():
 
         def pallas_fast(qb, k):
             # pallas sweep emits per-block candidates; re-rank by leaf lp
-            from rag_cobweb_tpu.ops.pallas_query import NEG
+            from rag_cobweb_tpu.ops.pallas_query import (
+                NEG, pallas_fits_vmem)
+            if not pallas_fits_vmem(bidx, len(qb), 16):
+                return xla_blocked(qb, k)  # kernel block would OOM VMEM
             cs, cand = pallas_blocked_topk(bidx, jnp.asarray(qb),
                                            max(k, args.rerank),
                                            interpret=not on_tpu, block_k=16)
