@@ -100,29 +100,94 @@ def build_flat_forest_index(
     ``leaf_of_sentence_global[s]`` is ``lane * capacity + local_leaf``.
     Like ``merge_stacked_to_flat``, the result drives every flat query
     engine but NOT ``beam_search_topk`` (no single root).
+
+    When the state lives on an accelerator, node STATISTICS never come to
+    host: only children/parent (~5% of the state bytes) are fetched for
+    the structure pass, and ``_compact_stats_device`` derives the GEMM
+    terms in HBM (device_get of a 256-lane 1M-vector forest's means/m2s
+    through the device relay costs minutes; measured flatten 267 s ->
+    ~30 s at 500k).
     """
-    st = jax.tree.map(np.asarray, stacked_state)
-    K, cap = st.counts.shape
+    means = stacked_state.means
+    on_device = (not as_numpy and isinstance(means, jax.Array)
+                 and means.size >= (1 << 24)
+                 and next(iter(means.devices())).platform != "cpu")
+    if on_device:
+        children_h = np.asarray(jax.device_get(stacked_state.children))
+        parent_h = np.asarray(jax.device_get(stacked_state.parent))
+        root_h = np.asarray(jax.device_get(stacked_state.root))
+        K, cap = parent_h.shape
+        device_stats = (
+            jnp.reshape(stacked_state.counts, (K * cap,)),
+            jnp.reshape(stacked_state.means, (K * cap, -1)),
+            jnp.reshape(stacked_state.m2s, (K * cap, -1)),
+        )
+    else:
+        st = jax.tree.map(np.asarray, stacked_state)
+        children_h, parent_h, root_h = st.children, st.parent, st.root
+        K, cap = st.counts.shape
+        device_stats = None
     offs = (np.arange(K, dtype=np.int32) * cap)[:, None, None]
-    children = np.where(st.children >= 0, st.children + offs, np.int32(-1))
+    children = np.where(children_h >= 0, children_h + offs, np.int32(-1))
     children = np.asarray(children.reshape(K * cap, -1), np.int32)
-    parent = np.where(st.parent >= 0, st.parent + offs[:, :, 0],
+    parent = np.where(parent_h >= 0, parent_h + offs[:, :, 0],
                       np.int32(-1))
     parent = np.asarray(parent.reshape(K * cap), np.int32)
-    roots = np.asarray(np.arange(K, dtype=np.int32) * cap
-                       + np.asarray(st.root), np.int32)
+    roots = np.asarray(np.arange(K, dtype=np.int32) * cap + root_h,
+                       np.int32)
+    if device_stats is None:
+        counts_f = st.counts.reshape(K * cap)
+        means_f = st.means.reshape(K * cap, -1)
+        m2s_f = st.m2s.reshape(K * cap, -1)
+    else:
+        counts_f = means_f = m2s_f = None
     # sentence_order must group leaves LANE-MAJOR: the multi-root BFS
     # numbers nodes level-interleaved across lanes, so ordering by compact
     # id would make every ~512-sentence block of the blocked index span
     # many subtrees — the per-block unique-node count (and with it the
-    # padded M of ALL blocks) explodes.  Raw global ids are lane-major.
+    # padded M of ALL blocks) explodes.
     return _build_index_from_arrays(
-        cfg, children, parent, st.counts.reshape(K * cap),
-        st.means.reshape(K * cap, -1), st.m2s.reshape(K * cap, -1),
+        cfg, children, parent, counts_f, means_f, m2s_f,
         roots, leaf_of_sentence_global, level_weights, pad_depth_to,
         as_numpy,
         lane_of_sentence=np.asarray(leaf_of_sentence_global) // cap,
+        device_stats=device_stats,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("acuity", "prior_var"))
+def _compact_stats_device(counts, means, m2s, order, prior_var: float,
+                          acuity: bool):
+    """Device-side stats compaction: gather live rows by ``order`` (-1 =
+    padding) and derive the GEMM terms without the stats ever leaving HBM.
+    The host-side flatten of a 256-lane 1M-sentence forest otherwise
+    device_gets ~2.6 GB of means/m2s through the relay (measured minutes);
+    structure arrays (children/parent) are ~20x smaller.
+    Returns (inv_var_T (D, Npad), mu_over_var_T (D, Npad), const (Npad,));
+    padding columns carry -3e38 const so they can never win a top-k."""
+    safe = jnp.maximum(order, 0)
+    c = counts[safe]
+    mu = means[safe]
+    m2 = m2s[safe]
+    sc = jnp.where(c > 0, c, 1.0)[:, None]
+    ml = m2 / sc
+    if acuity:
+        v = jnp.maximum(ml, prior_var)
+    else:
+        v = ml + prior_var
+    v = jnp.where(c[:, None] > 0, v, prior_var)
+    inv = 1.0 / v
+    mov = mu * inv
+    const = -0.5 * (jnp.sum(jnp.square(mu) * inv, axis=-1)
+                    + jnp.sum(jnp.log(v), axis=-1))
+    pad = order < 0
+    inv = jnp.where(pad[:, None], 1.0, inv)
+    mov = jnp.where(pad[:, None], 0.0, mov)
+    const = jnp.where(pad, jnp.float32(-3e38), const)
+    return inv.T, mov.T, const
+
+
+_NODE_BUCKET = 65536  # live-node padding quantum for the device stats path
 
 
 def _build_index_from_arrays(
@@ -133,11 +198,14 @@ def _build_index_from_arrays(
     pad_depth_to: int = 4,
     as_numpy: bool = False,
     lane_of_sentence: Optional[np.ndarray] = None,
+    device_stats=None,
 ) -> PredictionIndex:
     """Shared core of ``build_index`` / ``build_flat_forest_index``: BFS
     numbering (from one root or K forest roots), vectorized parent-chase
     paths, stats compaction.  ``lane_of_sentence`` (forest builds) makes
-    the leaf grouping lane-major, subtree-contiguous within each lane."""
+    the leaf grouping lane-major, subtree-contiguous within each lane.
+    ``device_stats`` = (counts, means, m2s) device arrays: stats never
+    leave HBM (``_compact_stats_device``); only structure comes to host."""
     # --- BFS over live nodes -> compact numbering -------------------------
     # Level-synchronous vectorized BFS: each level is ONE fancy-index gather
     # of the children table (row-major ravel preserves the queue-BFS order:
@@ -152,7 +220,7 @@ def _build_index_from_arrays(
             break
         levels.append(np.asarray(kids, np.int32))
     order_arr = np.concatenate(levels)
-    compact_of = np.full((counts_arr.shape[0],), -1, np.int32)
+    compact_of = np.full((children.shape[0],), -1, np.int32)
     compact_of[order_arr] = np.arange(len(order_arr), dtype=np.int32)
 
     n_live = len(order_arr)
@@ -219,24 +287,36 @@ def _build_index_from_arrays(
     # host numpy + a single device_put of the final arrays is faster at
     # every size measured (mirrors ops/gaussian.compute_var +
     # node_log_prob_terms exactly)
-    # transpose-first: ONE strided copy per stat array; every elementwise
-    # pass below then runs on contiguous (D, N) rows, and the final
-    # inv_var_T / mu_over_var_T need no second copy (same-dtype .astype /
-    # trailing ascontiguousarray(x.T) each cost seconds at 500k+ nodes)
-    means = np.asarray(means_arr[order_arr].T, np.float32, order="C")
-    m2s_T = np.ascontiguousarray(m2s_arr[order_arr].T)
-    counts = counts_arr[order_arr]
-    safe_count = np.where(counts > 0, counts, np.float32(1.0))[None, :]
-    ml_var = m2s_T / safe_count
-    if cfg.acuity_cutoff:
-        vars_ = np.maximum(ml_var, np.float32(cfg.prior_var))
+    if device_stats is not None:
+        cd, md, m2d = device_stats
+        n_pad = -(-max(n_live, 1) // _NODE_BUCKET) * _NODE_BUCKET
+        order_pad = np.full((n_pad,), -1, np.int32)
+        order_pad[:n_live] = order_arr
+        inv_var, mu_over_var, const_h = _compact_stats_device(
+            cd, md, m2d, jnp.asarray(order_pad),
+            float(cfg.prior_var), bool(cfg.acuity_cutoff),
+        )
     else:
-        vars_ = ml_var + np.float32(cfg.prior_var)
-    vars_ = np.where(counts[None, :] > 0, vars_, np.float32(cfg.prior_var))
-    inv_var = 1.0 / vars_
-    mu_over_var = means * inv_var
-    const_h = -0.5 * (np.sum(np.square(means) * inv_var, axis=0)
-                      + np.sum(np.log(vars_), axis=0))
+        # transpose-first: ONE strided copy per stat array; every
+        # elementwise pass below then runs on contiguous (D, N) rows, and
+        # the final inv_var_T / mu_over_var_T need no second copy
+        # (same-dtype .astype / trailing ascontiguousarray(x.T) each cost
+        # seconds at 500k+ nodes)
+        means = np.asarray(means_arr[order_arr].T, np.float32, order="C")
+        m2s_T = np.ascontiguousarray(m2s_arr[order_arr].T)
+        counts = counts_arr[order_arr]
+        safe_count = np.where(counts > 0, counts, np.float32(1.0))[None, :]
+        ml_var = m2s_T / safe_count
+        if cfg.acuity_cutoff:
+            vars_ = np.maximum(ml_var, np.float32(cfg.prior_var))
+        else:
+            vars_ = ml_var + np.float32(cfg.prior_var)
+        vars_ = np.where(counts[None, :] > 0, vars_,
+                         np.float32(cfg.prior_var))
+        inv_var = 1.0 / vars_
+        mu_over_var = means * inv_var
+        const_h = -0.5 * (np.sum(np.square(means) * inv_var, axis=0)
+                          + np.sum(np.log(vars_), axis=0))
     # compact children table
     kids = children[order_arr]  # (N_live, F) raw idx
     kids_compact = np.where(kids >= 0, compact_of[np.maximum(kids, 0)], -1).astype(
@@ -437,11 +517,29 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
     np.add.at(W, (blk_i, local[blk_i, slot_i, hop_i], slot_i),
               bw.reshape(NB, TS, P)[blk_i, slot_i, hop_i])
 
+    pad_mask = np.arange(M)[None, :] >= m_per_block[:, None]
+    on_device = (isinstance(index.inv_var_T, jax.Array)
+                 and next(iter(index.inv_var_T.devices())).platform
+                 != "cpu")
+    if on_device:
+        # stats stay in HBM: upload the (NB, M) node table and gather the
+        # per-block replicas on device (the host round trip of the GEMM
+        # terms costs minutes through the device relay at 1M scale)
+        ivt_b, movt_b, const_b = _gather_blocked_stats_device(
+            index.inv_var_T, index.mu_over_var_T, index.const,
+            jnp.asarray(nodes_pad.astype(np.int32)),
+            jnp.asarray(pad_mask), jnp.dtype(dtype).name,
+        )
+        return BlockedIndex(
+            ivt_b=ivt_b, movt_b=movt_b, const_b=const_b,
+            W=jnp.asarray(W, dtype),
+            valid=jnp.asarray(valid), sid_of_slot=jnp.asarray(sid_of_slot),
+        )
+
     ivt = np.asarray(index.inv_var_T)               # (D, N)
     movt = np.asarray(index.mu_over_var_T)
     const = np.asarray(index.const)
 
-    pad_mask = np.arange(M)[None, :] >= m_per_block[:, None]
     ivt_b = np.ascontiguousarray(ivt.T[nodes_pad])      # (NB, M, D)
     ivt_b[pad_mask] = 1.0
     movt_b = np.ascontiguousarray(movt.T[nodes_pad])
@@ -454,6 +552,18 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
         const_b=jnp.asarray(const_b), W=jnp.asarray(W, dtype),
         valid=jnp.asarray(valid), sid_of_slot=jnp.asarray(sid_of_slot),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _gather_blocked_stats_device(inv_T, mov_T, const, nodes_pad, pad_mask,
+                                 dtype: str):
+    dt = jnp.dtype(dtype)
+    ivt_b = jnp.where(pad_mask[..., None], 1.0,
+                      inv_T.T[nodes_pad]).astype(dt)
+    movt_b = jnp.where(pad_mask[..., None], 0.0,
+                       mov_T.T[nodes_pad]).astype(dt)
+    const_b = jnp.where(pad_mask, 0.0, const[nodes_pad])
+    return ivt_b, movt_b, const_b
 
 
 def blocked_scores(bidx: BlockedIndex, queries: jnp.ndarray) -> jnp.ndarray:
