@@ -424,6 +424,24 @@ def query_topk_rerank(index: PredictionIndex, queries: jnp.ndarray, k: int,
                            min(k, c))
 
 
+@jax.jit
+def pending_leaf_lp(queries: jnp.ndarray, vecs: jnp.ndarray,
+                    valid: jnp.ndarray, prior_var: jnp.ndarray):
+    """Leaf log-probability of not-yet-indexed (pending) sentences.
+
+    A sentence inserted since the last index build sits in a fresh leaf
+    with count 1, mean = its embedding and ML variance 0, so its leaf
+    log-prob is EXACTLY the prior-variance Gaussian at the embedding —
+    the same key ``_leaf_lp_rerank`` ranks indexed candidates by.  This
+    closed form is what lets ``CobwebIndex`` serve queries from a stale
+    index + exact pending scores instead of rebuilding per add.
+    (B, D) x (Np, D) -> (B, Np); invalid rows -> -inf."""
+    d2 = jnp.sum(jnp.square(queries[:, None, :] - vecs[None, :, :]), -1)
+    lp = -0.5 * (d2 / prior_var
+                 + queries.shape[1] * jnp.log(prior_var))
+    return jnp.where(valid[None, :], lp, -jnp.inf)
+
+
 # ---------------------------------------------------------------------------
 # blocked (gather-free) indexed scoring — the MXU-native large-scale path
 # ---------------------------------------------------------------------------

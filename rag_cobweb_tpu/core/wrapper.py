@@ -83,6 +83,7 @@ class CobwebIndex:
 
         self._index: Optional[index_mod.PredictionIndex] = None
         self._blocked: Optional[index_mod.BlockedIndex] = None
+        self._init_pending()
         # gather-free MXU path scoring kicks in above this corpus size
         # (its per-block replication build costs a few seconds, repaid at
         # scale — 10x faster at 100k sentences)
@@ -128,18 +129,50 @@ class CobwebIndex:
             leaves = bulk_insert(self.tree, new_vectors, chunk=batch_size)
         else:
             leaves = self.tree.fit(new_vectors, batch_size=batch_size)
+        n0 = len(self.sentences)
         self.sentences.extend(new_sentences)
         if self.forest is None:
             self.leaf_of_sentence.extend(int(l) for l in leaves)
-        self._invalidate_index()
+        # bounded-staleness serving (the reference rebuilds its whole
+        # prediction index on every mutation, CobwebWrapper.py:80): when a
+        # fast-query index already exists, keep serving it and score the
+        # new rows exactly via their fresh-leaf closed form
+        # (index.pending_leaf_lp) — add-then-query costs ~ms instead of an
+        # O(N) rebuild; a full rebuild happens once pending exceeds
+        # ``stale_pending_limit`` or an exact-index consumer runs.
+        n_new = len(self.sentences) - n0
+        limit = max(self.stale_pending_limit,
+                    int(0.05 * len(self.sentences)))
+        if (self.stale_reads and self.forest is None
+                and self._index is not None
+                and len(self._pending_sids) + n_new <= limit):
+            self._pending_sids.extend(range(n0, n0 + n_new))
+            self._pending_vecs = (
+                new_vectors if self._pending_vecs is None
+                else np.concatenate([self._pending_vecs, new_vectors]))
+        else:
+            self._invalidate_index()
         return leaves
 
     # ------------------------------------------------------------------ #
     # prediction index                                                   #
     # ------------------------------------------------------------------ #
+    def _init_pending(self):
+        self._pending_sids: list[int] = []
+        self._pending_vecs: Optional[np.ndarray] = None
+        self.stale_reads = True
+        self.stale_pending_limit = 4096
+
     def _invalidate_index(self):
         self._index = None
         self._blocked = None
+        self._pending_sids = []
+        self._pending_vecs = None
+
+    def _flush_pending(self):
+        """Force exact-index semantics (rank_scores, beam, diagnostics)."""
+        if self._pending_sids:
+            self._invalidate_index()
 
     def build_prediction_index(self) -> index_mod.PredictionIndex:
         if self.forest is not None:
@@ -179,6 +212,7 @@ class CobwebIndex:
         """Mean/var arrays for every node on a sentence's root->leaf path
         (reference :297-313)."""
         self._require_single_tree("get_node_path_stats")
+        self._flush_pending()
         idx = self.build_prediction_index()
         if not (0 <= sentence_id < len(self.sentences)):
             return None, None
@@ -242,29 +276,62 @@ class CobwebIndex:
         if rerank is None:
             rerank = (self.rerank_candidates
                       if len(self.sentences) >= self.rerank_threshold else 0)
+        if self._pending_sids and tie_noise:
+            self._flush_pending()   # tie-noise path needs the exact index
+        if self._pending_sids:
+            # stale-index serve: rerank scores are leaf log-probs — the
+            # same scale pending_leaf_lp produces, so the merge is exact
+            rerank = rerank or self.rerank_candidates
         idx = self.build_prediction_index()
+        n_indexed = idx.num_sentences
+        kk_old = min(kk, n_indexed)
         if len(self.sentences) >= self.blocked_threshold and not tie_noise:
             if rerank:
-                _, top_ids = index_mod.blocked_query_topk_rerank(
-                    self._blocked_index(), idx, q, kk, rerank=rerank
+                top_s, top_ids = index_mod.blocked_query_topk_rerank(
+                    self._blocked_index(), idx, q, kk_old, rerank=rerank
                 )
             else:
-                _, top_ids = index_mod.blocked_query_topk(
-                    self._blocked_index(), q, kk
+                top_s, top_ids = index_mod.blocked_query_topk(
+                    self._blocked_index(), q, kk_old
                 )
         elif rerank and not tie_noise:
-            _, top_ids = index_mod.query_topk_rerank(idx, q, kk,
-                                                     rerank=rerank)
+            top_s, top_ids = index_mod.query_topk_rerank(idx, q, kk_old,
+                                                         rerank=rerank)
         else:
             key = (jax.random.PRNGKey(len(self.sentences))
                    if tie_noise else None)
-            _, top_ids = index_mod.query_topk(idx, q, kk, key)
+            top_s, top_ids = index_mod.query_topk(idx, q, kk_old, key)
+        if self._pending_sids:
+            top_ids = self._merge_pending(q, top_s, top_ids, kk)
         ids = np.asarray(top_ids)
         out = [
             [i if return_ids else self.sentences[i] for i in row]
             for row in ids.tolist()
         ]
         return out[0] if single else out
+
+    def _merge_pending(self, q, top_s, top_ids, k: int) -> np.ndarray:
+        """Merge stale-index candidates with exact pending scores (both are
+        leaf log-probs) -> (B, k) sentence ids."""
+        vecs = self._pending_vecs
+        n_p = len(self._pending_sids)
+        n_pad = max(8, 1 << (n_p - 1).bit_length())   # bucketed jit shape
+        vp = np.zeros((n_pad, vecs.shape[1]), np.float32)
+        vp[:n_p] = vecs[:n_p]
+        valid = np.zeros((n_pad,), bool)
+        valid[:n_p] = True
+        lp = index_mod.pending_leaf_lp(
+            q, jnp.asarray(vp), jnp.asarray(valid),
+            jnp.float32(self.cfg.prior_var),
+        )
+        kp = min(k, n_pad)
+        ps, ppos = jax.lax.top_k(lp, kp)
+        pend_ids = np.asarray(self._pending_sids + [0] * (n_pad - n_p))[
+            np.asarray(ppos)]
+        all_s = np.concatenate([np.asarray(top_s), np.asarray(ps)], axis=1)
+        all_ids = np.concatenate([np.asarray(top_ids), pend_ids], axis=1)
+        order = np.argsort(-all_s, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(all_ids, order, axis=1)
 
     # reference-compatible aliases
     cobweb_predict_fast = predict_fast
@@ -274,6 +341,7 @@ class CobwebIndex:
                 beam_width: int = 64):
         """Tree-search prediction (reference cobweb_predict :435-461) as a
         batched beam search down the concept hierarchy."""
+        self._flush_pending()   # beam needs the exact index
         q, single = self._as_query_batch(input, is_embedding)
         if self.forest is not None:
             sids = self.forest.beam_topk(np.asarray(q), k,
@@ -303,6 +371,7 @@ class CobwebIndex:
         """Differentiable per-sentence scores (reference cobweb_rank_scores
         :267-294).  (B, D) -> (B, S); single input -> (S,).  Differentiable
         w.r.t. the query embedding — used as logits by training/query_train."""
+        self._flush_pending()   # (B, S) scores must cover every sentence
         q, single = self._as_query_batch(input, is_embedding)
         if self.forest is not None:
             scores = self.forest.rank_scores(q)
@@ -387,6 +456,7 @@ class CobwebIndex:
         obj.leaf_of_sentence = [int(l) for l in leaf_of]
         obj._index = None
         obj._blocked = None
+        obj._init_pending()
         obj.blocked_threshold = 8192
         obj._level_weights = None
         obj._weight_schedule = None
@@ -459,6 +529,7 @@ class CobwebIndex:
         obj.leaf_of_sentence = [int(l) for l in extras["leaf_of_sentence"]]
         obj._index = None
         obj._blocked = None
+        obj._init_pending()
         obj.blocked_threshold = 8192
         obj._level_weights = None
         obj._weight_schedule = None

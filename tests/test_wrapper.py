@@ -147,3 +147,39 @@ def test_fast_build_mode():
     out = idx.predict_fast(embs[100], k=3, is_embedding=True,
                            return_ids=True)
     assert 100 in out
+
+
+def test_stale_pending_add_then_query():
+    """add_sentences after an index build must serve queries WITHOUT an
+    index rebuild (bounded-staleness pending buffer): the new sentences are
+    scored by their fresh-leaf closed form and merged by leaf log-prob."""
+    rng = np.random.default_rng(3)
+    D = 16
+    centers = rng.normal(scale=4.0, size=(8, D)).astype(np.float32)
+    base = np.concatenate([
+        c + 0.2 * rng.normal(size=(40, D)) for c in centers
+    ]).astype(np.float32)
+    db = CobwebIndex(corpus_embeddings=base, config=TreeConfig(dim=D))
+    db.predict_fast(base[0], k=3, is_embedding=True)   # builds the index
+    assert db._index is not None
+
+    new = (centers[3] + 0.2 * rng.normal(size=(20, D))).astype(np.float32)
+    db.add_sentences([None] * len(new), new)
+    assert db._pending_sids, "adds should land in the pending buffer"
+    assert db._index is not None, "stale index must survive the add"
+
+    # a query AT a pending embedding must retrieve that pending sid first
+    sid0 = len(base)
+    got = db.predict_fast(new[0], k=5, is_embedding=True, return_ids=True)
+    assert got[0] == sid0, got
+    # old sentences still retrievable through the stale index
+    got_old = db.predict_fast(base[7], k=5, is_embedding=True,
+                              return_ids=True)
+    assert 7 in got_old or got_old[0] // 40 == 0, got_old
+
+    # exact-index consumers flush the pending buffer
+    scores = db.rank_scores(new[0], is_embedding=True)
+    assert not db._pending_sids
+    assert scores.shape[0] == len(base) + len(new)
+    got2 = db.predict_fast(new[0], k=5, is_embedding=True, return_ids=True)
+    assert got2[0] == sid0, (got, got2)
