@@ -23,11 +23,33 @@ reference's best-first tree search, CobwebTorchTree._cobweb_categorize
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class _PhaseTimer:
+    """Env-gated (RAG_COBWEB_TPU_INDEX_TIMING=1) phase timing for the
+    index builders — the 1M-scale flatten/blocked costs are multi-phase
+    and this is how they get attributed."""
+
+    def __init__(self, tag: str):
+        self.on = os.environ.get("RAG_COBWEB_TPU_INDEX_TIMING") == "1"
+        self.tag = tag
+        self.t = time.perf_counter()
+
+    def lap(self, name: str, sync=None):
+        if not self.on:
+            return
+        if sync is not None:
+            jax.block_until_ready(sync)
+        now = time.perf_counter()
+        print(f"[{self.tag}] {name}: {now - self.t:.2f}s", flush=True)
+        self.t = now
 
 from rag_cobweb_tpu.core.tree import CobwebTree
 from rag_cobweb_tpu.ops.gaussian import batched_node_log_probs
@@ -108,6 +130,7 @@ def build_flat_forest_index(
     through the device relay costs minutes; measured flatten 267 s ->
     ~30 s at 500k).
     """
+    pt = _PhaseTimer("flat")
     means = stacked_state.means
     on_device = (not as_numpy and isinstance(means, jax.Array)
                  and means.size >= (1 << 24)
@@ -122,6 +145,7 @@ def build_flat_forest_index(
             jnp.reshape(stacked_state.means, (K * cap, -1)),
             jnp.reshape(stacked_state.m2s, (K * cap, -1)),
         )
+        pt.lap("device_get children/parent + reshape")
     else:
         st = jax.tree.map(np.asarray, stacked_state)
         children_h, parent_h, root_h = st.children, st.parent, st.root
@@ -220,8 +244,10 @@ def _build_index_from_arrays(
             break
         levels.append(np.asarray(kids, np.int32))
     order_arr = np.concatenate(levels)
+    _pt = _PhaseTimer("idx")
     compact_of = np.full((children.shape[0],), -1, np.int32)
     compact_of[order_arr] = np.arange(len(order_arr), dtype=np.int32)
+    _pt.lap("bfs+compact")
 
     n_live = len(order_arr)
     depths = np.concatenate([
@@ -263,6 +289,7 @@ def _build_index_from_arrays(
     weights = np.where(
         paths >= 0, lw[None, :] / np.maximum(path_len, 1)[:, None], 0.0
     ).astype(np.float32)
+    _pt.lap("paths+weights")
 
     # --- sentence run-length layout per leaf (for beam search) ------------
     if lane_of_sentence is not None:
@@ -296,6 +323,7 @@ def _build_index_from_arrays(
             cd, md, m2d, jnp.asarray(order_pad),
             float(cfg.prior_var), bool(cfg.acuity_cutoff),
         )
+        _pt.lap("device stats", sync=const_h)
     else:
         # transpose-first: ONE strided copy per stat array; every
         # elementwise pass below then runs on contiguous (D, N) rows, and
@@ -326,8 +354,9 @@ def _build_index_from_arrays(
     # ``as_numpy`` keeps the index host-side — for per-lane indexes that
     # are immediately re-stacked/flattened (forest builds), skipping the
     # per-lane device round trip
+    _pt.lap("leaf layout + children")
     wrap = np.ascontiguousarray if as_numpy else jnp.asarray
-    return PredictionIndex(
+    out_idx = PredictionIndex(
         inv_var_T=wrap(inv_var),
         mu_over_var_T=wrap(mu_over_var),
         const=wrap(const_h.astype(np.float32)),
@@ -338,6 +367,8 @@ def _build_index_from_arrays(
         leaf_sentence_count=wrap(leaf_count),
         sentence_order=wrap(sent_order),
     )
+    _pt.lap("wrap/upload", sync=None if as_numpy else out_idx.paths)
+    return out_idx
 
 
 # ---------------------------------------------------------------------------
@@ -484,9 +515,11 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
     ``blocked_query_topk_rerank``) which restores exact final ranking; the
     top-``rerank`` candidate pool absorbs sweep-level score jitter.
     """
+    _pt = _PhaseTimer("blk")
     paths = np.asarray(index.paths)
     weights = np.asarray(index.path_weights)
     order = np.asarray(index.sentence_order)       # sentences in leaf order
+    _pt.lap("pull paths/weights/order")
     S, P = paths.shape
     TS = block_size
     NB = max(1, -(-S // TS))
@@ -523,6 +556,7 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
     nodes_pad = np.zeros((NB, M), np.int64)
     rows_b, cols_b = np.nonzero(is_new)
     nodes_pad[rows_b, local_sorted[rows_b, cols_b]] = skey[rows_b, cols_b]
+    _pt.lap("batched unique")
 
     # local index of every (slot, hop) path entry, then ONE global
     # scatter-add into W
@@ -534,6 +568,7 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
     blk_i, slot_i, hop_i = np.nonzero(ok)
     np.add.at(W, (blk_i, local[blk_i, slot_i, hop_i], slot_i),
               bw.reshape(NB, TS, P)[blk_i, slot_i, hop_i])
+    _pt.lap("W scatter")
 
     pad_mask = np.arange(M)[None, :] >= m_per_block[:, None]
     on_device = (isinstance(index.inv_var_T, jax.Array)
@@ -548,11 +583,14 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
             jnp.asarray(nodes_pad.astype(np.int32)),
             jnp.asarray(pad_mask), jnp.dtype(dtype).name,
         )
-        return BlockedIndex(
+        _pt.lap("device gather", sync=const_b)
+        out = BlockedIndex(
             ivt_b=ivt_b, movt_b=movt_b, const_b=const_b,
             W=jnp.asarray(W, dtype),
             valid=jnp.asarray(valid), sid_of_slot=jnp.asarray(sid_of_slot),
         )
+        _pt.lap("W upload", sync=out.W)
+        return out
 
     ivt = np.asarray(index.inv_var_T)               # (D, N)
     movt = np.asarray(index.mu_over_var_T)

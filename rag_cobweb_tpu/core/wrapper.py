@@ -516,6 +516,7 @@ class CobwebIndex:
             obj.leaf_of_sentence = []
             obj._index = None
             obj._blocked = None
+            obj._init_pending()
             obj.blocked_threshold = 8192
             obj._level_weights = None
             obj._weight_schedule = None
