@@ -56,6 +56,23 @@ from rag_cobweb_tpu.ops.gaussian import batched_node_log_probs
 
 DEFAULT_LEVEL_WEIGHTS = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)  # CobwebWrapper.py:155
 
+# Host copies of the structure arrays (paths/weights/sentence_order) of
+# device-resident PredictionIndexes, keyed by the device paths array:
+# build_blocked_index needs them on host, and re-downloading what the
+# builder just uploaded costs ~36 s at 1M through the device relay.
+_HOST_STRUCT: dict = {}
+
+
+def _register_host_struct(key_arr, paths, weights, order):
+    import weakref
+
+    k = id(key_arr)
+    _HOST_STRUCT[k] = (paths, weights, order)
+    try:
+        weakref.finalize(key_arr, _HOST_STRUCT.pop, k, None)
+    except TypeError:
+        pass
+
 
 class PredictionIndex(NamedTuple):
     """Device-resident query index (rebuilt after tree mutations)."""
@@ -368,6 +385,8 @@ def _build_index_from_arrays(
         sentence_order=wrap(sent_order),
     )
     _pt.lap("wrap/upload", sync=None if as_numpy else out_idx.paths)
+    if not as_numpy:
+        _register_host_struct(out_idx.paths, paths, weights, sent_order)
     return out_idx
 
 
@@ -516,9 +535,13 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
     top-``rerank`` candidate pool absorbs sweep-level score jitter.
     """
     _pt = _PhaseTimer("blk")
-    paths = np.asarray(index.paths)
-    weights = np.asarray(index.path_weights)
-    order = np.asarray(index.sentence_order)       # sentences in leaf order
+    hs = _HOST_STRUCT.get(id(index.paths))
+    if hs is not None:
+        paths, weights, order = hs
+    else:
+        paths = np.asarray(index.paths)
+        weights = np.asarray(index.path_weights)
+        order = np.asarray(index.sentence_order)   # sentences in leaf order
     _pt.lap("pull paths/weights/order")
     S, P = paths.shape
     TS = block_size
@@ -536,10 +559,10 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
     bw = np.where(valid.reshape(-1, 1),
                   weights[np.maximum(order_pad, 0)[:, None],
                           np.arange(P)[None, :]], 0.0)
-    flat = bp.reshape(NB, TS * P).astype(np.int64)    # -1 = padding
+    flat = bp.reshape(NB, TS * P).astype(np.int32)    # -1 = padding
 
     # batched per-block unique: sort each row, mark firsts, rank via cumsum
-    SENT = np.iinfo(np.int64).max
+    SENT = np.iinfo(np.int32).max
     keyed = np.where(flat >= 0, flat, SENT)
     ord_idx = np.argsort(keyed, axis=1, kind="stable")
     skey = np.take_along_axis(keyed, ord_idx, 1)
@@ -553,7 +576,7 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
 
     # per-block unique node ids, padded to M (pad rows point at node 0 but
     # are never addressed by W, and their stats are overwritten below)
-    nodes_pad = np.zeros((NB, M), np.int64)
+    nodes_pad = np.zeros((NB, M), np.int32)
     rows_b, cols_b = np.nonzero(is_new)
     nodes_pad[rows_b, local_sorted[rows_b, cols_b]] = skey[rows_b, cols_b]
     _pt.lap("batched unique")
@@ -564,16 +587,25 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
     np.put_along_axis(local, ord_idx, np.maximum(local_sorted, 0), 1)
     local = local.reshape(NB, TS, P)
     ok = bp.reshape(NB, TS, P) >= 0
-    W = np.zeros((NB, M, TS), np.float32)
-    blk_i, slot_i, hop_i = np.nonzero(ok)
-    np.add.at(W, (blk_i, local[blk_i, slot_i, hop_i], slot_i),
-              bw.reshape(NB, TS, P)[blk_i, slot_i, hop_i])
-    _pt.lap("W scatter")
-
-    pad_mask = np.arange(M)[None, :] >= m_per_block[:, None]
     on_device = (isinstance(index.inv_var_T, jax.Array)
                  and next(iter(index.inv_var_T.devices())).platform
                  != "cpu")
+    if on_device:
+        # build W in HBM from the small (NB, TS, P) pieces: uploading a
+        # materialized (NB, M, TS) W is ~3 GB at 1M and the relay's
+        # large-buffer h2d collapses (~19 MB/s measured -> 160 s);
+        # local+weights are ~30x smaller
+        W = _build_W_device(
+            jnp.asarray(np.where(ok, local, -1).astype(np.int32)),
+            jnp.asarray(bw.reshape(NB, TS, P)), M, TS)
+    else:
+        W = np.zeros((NB, M, TS), np.float32)
+        blk_i, slot_i, hop_i = np.nonzero(ok)
+        np.add.at(W, (blk_i, local[blk_i, slot_i, hop_i], slot_i),
+                  bw.reshape(NB, TS, P)[blk_i, slot_i, hop_i])
+    _pt.lap("W scatter", sync=W if on_device else None)
+
+    pad_mask = np.arange(M)[None, :] >= m_per_block[:, None]
     if on_device:
         # stats stay in HBM: upload the (NB, M) node table and gather the
         # per-block replicas on device (the host round trip of the GEMM
@@ -586,10 +618,10 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
         _pt.lap("device gather", sync=const_b)
         out = BlockedIndex(
             ivt_b=ivt_b, movt_b=movt_b, const_b=const_b,
-            W=jnp.asarray(W, dtype),
+            W=W.astype(jnp.dtype(dtype)),
             valid=jnp.asarray(valid), sid_of_slot=jnp.asarray(sid_of_slot),
         )
-        _pt.lap("W upload", sync=out.W)
+        _pt.lap("W cast", sync=out.W)
         return out
 
     ivt = np.asarray(index.inv_var_T)               # (D, N)
@@ -608,6 +640,21 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
         const_b=jnp.asarray(const_b), W=jnp.asarray(W, dtype),
         valid=jnp.asarray(valid), sid_of_slot=jnp.asarray(sid_of_slot),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("M", "TS"))
+def _build_W_device(local, bw, M: int, TS: int):
+    """Scatter-add the (NB, TS, P) per-hop path weights into the dense
+    (NB, M, TS) block-local weight tensor, in HBM.  local == -1 drops."""
+    NB = local.shape[0]
+    b = jax.lax.broadcasted_iota(jnp.int32, local.shape, 0)
+    t = jax.lax.broadcasted_iota(jnp.int32, local.shape, 1)
+    ok = local >= 0
+    idx = (b * M + jnp.maximum(local, 0)) * TS + t
+    idx = jnp.where(ok, idx, NB * M * TS)
+    W = jnp.zeros((NB * M * TS,), jnp.float32).at[idx.reshape(-1)].add(
+        jnp.where(ok, bw, 0.0).reshape(-1), mode="drop")
+    return W.reshape(NB, M, TS)
 
 
 @functools.partial(jax.jit, static_argnames=("dtype",))

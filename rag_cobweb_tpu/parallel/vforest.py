@@ -437,8 +437,11 @@ class VForest:
         at once, instead of K per-lane index builds + pad/stack/flatten
         (which cost ~470 s at 500k sentences / 256 lanes)."""
         if getattr(self, "_flat_index", None) is None:
-            st = jax.device_get(self.state)
-            cap = st.counts.shape[1]
+            # pass the DEVICE state: build_flat_forest_index fetches only
+            # children/parent for the host structure pass and keeps the
+            # stats in HBM (a full device_get here is ~2.6 GB d2h at 1M)
+            st = self.state
+            cap = int(st.counts.shape[1])
             n_local = max(
                 (len(l) for l in self._leaf_of_local), default=0)
             leaf_mat = np.full((self.K, max(n_local, 1)), -1, np.int64)
