@@ -66,12 +66,18 @@ _HOST_STRUCT: dict = {}
 def _register_host_struct(key_arr, paths, weights, order):
     import weakref
 
+    # Register the finalizer BEFORE caching, and cache only if it took:
+    # without guaranteed eviction, a GC'd array's id can be recycled by a
+    # NEW paths array and build_blocked_index would silently consume the
+    # wrong tree's structure.  If the array type ever stops supporting
+    # weakrefs we simply skip the cache (blocked builds fall back to
+    # re-downloading — slow but correct).
     k = id(key_arr)
-    _HOST_STRUCT[k] = (paths, weights, order)
     try:
         weakref.finalize(key_arr, _HOST_STRUCT.pop, k, None)
     except TypeError:
-        pass
+        return
+    _HOST_STRUCT[k] = (paths, weights, order)
 
 
 class PredictionIndex(NamedTuple):
@@ -457,6 +463,33 @@ def _leaf_lp_rerank(index: PredictionIndex, queries: jnp.ndarray,
     x = queries[:, None, :]
     lp = (jnp.sum(x * movt, -1) - 0.5 * jnp.sum(jnp.square(x) * ivt, -1)
           + cst)
+    lp = jnp.where(jnp.isfinite(cand_scores), lp, -jnp.inf)
+    top, pos = jax.lax.top_k(lp, k)
+    return top, jnp.take_along_axis(cand, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def exact_rerank(emb: jnp.ndarray, queries: jnp.ndarray,
+                 cand: jnp.ndarray, cand_scores: jnp.ndarray, k: int,
+                 prior_var: jnp.ndarray = jnp.float32(1.0)):
+    """Re-rank (B, C) candidate sentences by the fresh-leaf closed form on
+    their STORED embeddings — the exact formula ``pending_leaf_lp`` uses
+    for not-yet-indexed rows, so stale-index merges stay calibrated:
+        lp = -0.5 (||q - x||^2 / prior_var + D log prior_var)
+    Monotone in exact L2 distance: whenever the gold is in the candidate
+    pool, the final ranking equals exact whitened search.
+
+    This fixes the leaf-lp re-rank's blind spot: sentences sharing a leaf
+    (near-duplicates merged by the tree) get IDENTICAL leaf log-probs, so
+    their relative order was arbitrary — on the hard benchmark the gold
+    drowned among its planted dups (0.858 vs whitened-exact 0.915 at
+    d=563).
+
+    emb: (S, D) stored corpus embeddings; returns (scores, ids) (B, k)."""
+    x = emb[cand]                                   # (B, C, D)
+    d2 = jnp.sum(jnp.square(queries[:, None, :] - x), -1)
+    lp = -0.5 * (d2 / prior_var
+                 + queries.shape[1] * jnp.log(prior_var))
     lp = jnp.where(jnp.isfinite(cand_scores), lp, -jnp.inf)
     top, pos = jax.lax.top_k(lp, k)
     return top, jnp.take_along_axis(cand, pos, axis=1)

@@ -170,7 +170,15 @@ class TPPredictionIndex:
         self.tpidx = place(shard_index(index, self.n_shards), mesh, axis)
 
     def query_topk(self, queries, k: int, rerank: int = 0):
-        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        # Stats were zero-padded along D to Dp = K * (D/K slab); the query
+        # must be padded to match or the clamped dynamic_slice for the last
+        # shards re-reads earlier columns and double-counts them (the padded
+        # q columns hit the zero-padded stat rows, contributing exactly 0).
+        Dp = self.n_shards * int(self.tpidx.ivt.shape[1])
+        if q.shape[1] != Dp:
+            q = np.pad(q, ((0, 0), (0, Dp - q.shape[1])))
+        q = jnp.asarray(q)
         fn = _tp_query(self.mesh, self.axis, k, rerank)
         scores, gids = fn(self.tpidx, q)
         return np.asarray(scores), np.asarray(gids)

@@ -17,13 +17,13 @@ from rag_cobweb_tpu.parallel.tp import TPPredictionIndex, shard_index
 @pytest.fixture(scope="module")
 def built():
     rng = np.random.default_rng(0)
-    centers = rng.normal(scale=3.0, size=(10, 24))  # D=24: not /8 -> D pad
+    centers = rng.normal(scale=3.0, size=(10, 20))  # D=20: 20 % 8 != 0 -> D pad
     xs = np.concatenate(
-        [c + 0.2 * rng.normal(size=(21, 24)) for c in centers]  # S=210 pad
+        [c + 0.2 * rng.normal(size=(21, 20)) for c in centers]  # S=210 pad
     ).astype(np.float32)
     order = rng.permutation(len(xs))
     xs = xs[order]
-    tree = CobwebTree(TreeConfig(dim=24), capacity=2048, seed=0)
+    tree = CobwebTree(TreeConfig(dim=20), capacity=2048, seed=0)
     leaves = tree.fit(xs)
     idx = index_mod.build_index(tree, leaves)
     return idx, xs
