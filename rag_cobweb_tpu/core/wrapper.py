@@ -83,6 +83,7 @@ class CobwebIndex:
 
         self._index: Optional[index_mod.PredictionIndex] = None
         self._blocked: Optional[index_mod.BlockedIndex] = None
+        self._init_vec_store()
         self._init_pending()
         # gather-free MXU path scoring kicks in above this corpus size
         # (its per-block replication build costs a few seconds, repaid at
@@ -109,9 +110,10 @@ class CobwebIndex:
 
         The per-item Python loop of the reference becomes a batched
         on-device insert; leaf assignment comes back as one array.
-        ``fast_build=True`` uses the frozen-epoch bulk path (core/bulk.py):
-        chunk-level approximation with exact fallback; same recall in
-        benchmarks, higher throughput on insert-heavy workloads.
+        ``fast_build`` is deprecated: the frozen-epoch bulk path it used
+        to select only ever tied the exact path (~1.34k vs ~1.40k
+        inserts/s) and was removed — construct with ``n_subtrees=K`` for
+        the fast (vmapped forest) build instead.
         """
         if new_vectors is None:
             new_vectors = self.encode_func(new_sentences)
@@ -129,13 +131,20 @@ class CobwebIndex:
             )
         if self.forest is not None:
             leaves = self.forest.add(new_vectors)  # global sentence ids
-        elif fast_build and len(new_vectors) > 256 and self.tree.n_inserted > 0:
-            from rag_cobweb_tpu.core.bulk import bulk_insert
-            leaves = bulk_insert(self.tree, new_vectors, chunk=batch_size)
         else:
+            if fast_build:
+                import warnings
+                warnings.warn(
+                    "fast_build is deprecated (the bulk path was removed; "
+                    "it never beat the exact path) — use "
+                    "CobwebIndex(n_subtrees=K) for fast forest builds",
+                    DeprecationWarning, stacklevel=2)
             leaves = self.tree.fit(new_vectors, batch_size=batch_size)
         n0 = len(self.sentences)
         self.sentences.extend(new_sentences)
+        if self.store_embeddings:
+            self._vec_chunks.append(new_vectors)
+            self._emb_dev_cache = None
         if self.forest is None:
             self.leaf_of_sentence.extend(int(l) for l in leaves)
         # bounded-staleness serving (the reference rebuilds its whole
@@ -162,6 +171,32 @@ class CobwebIndex:
     # ------------------------------------------------------------------ #
     # prediction index                                                   #
     # ------------------------------------------------------------------ #
+    def _init_vec_store(self):
+        # stored corpus embeddings (the DB's own vectors, like any vector
+        # store): enables the EXACT final re-rank — candidates ranked by
+        # true L2 to the stored row, which equals exact whitened search
+        # whenever the gold is in the pool.  ~S*D*4 bytes of HBM
+        # (512 MB at 1M x 128); set store_embeddings=False to opt out and
+        # fall back to the leaf-log-prob re-rank.
+        self.store_embeddings = True
+        self._vec_chunks: list = []
+        self._emb_dev_cache = None
+
+    def _emb_device(self):
+        """(S, D) stored embeddings on device, or None when unavailable
+        (store disabled, or a checkpoint loaded without vectors)."""
+        if not self.store_embeddings or not self._vec_chunks:
+            return None
+        if (self._emb_dev_cache is None
+                or self._emb_dev_cache.shape[0] != len(self.sentences)):
+            if len(self._vec_chunks) > 1:
+                self._vec_chunks = [np.concatenate(self._vec_chunks)]
+            host = self._vec_chunks[0]
+            if host.shape[0] != len(self.sentences):
+                return None
+            self._emb_dev_cache = jnp.asarray(host)
+        return self._emb_dev_cache
+
     def _init_pending(self):
         self._pending_sids: list[int] = []
         self._pending_vecs: Optional[np.ndarray] = None
@@ -244,21 +279,144 @@ class CobwebIndex:
             arr = arr[None, :]
         return jnp.asarray(arr), single
 
+    def _flat_pred_index(self) -> index_mod.PredictionIndex:
+        """A flat PredictionIndex over GLOBAL sentence ids — the structure
+        every large-scale engine (blocked / Pallas / re-rank) consumes.  In
+        forest mode this is the whole forest flattened via the multi-root
+        BFS (VForest.flat_index); single-tree mode it is the ordinary
+        prediction index."""
+        if self.forest is not None:
+            return self.forest.flat_index()
+        return self.build_prediction_index()
+
     def _blocked_index(self) -> index_mod.BlockedIndex:
         if self._blocked is None:
             self._blocked = index_mod.build_blocked_index(
-                self.build_prediction_index()
+                self._flat_pred_index()
             )
         return self._blocked
 
-    # path-score recall@10 dips ~0.98 at 100k sentences while leaf-lp beam
-    # holds ~0.998; the hybrid re-rank closes that gap at fast-path latency,
-    # so it switches on automatically at scale (rerank=None -> auto).
-    # Measured at 100k: rerank=128 -> 0.985 recall@10 @ 0.10 ms/q,
-    # rerank=512 -> 1.000 @ 0.17 ms/q — the candidate pool is the recall
-    # bound, and the leaf-lp pass is cheap, so auto uses 512.
-    rerank_threshold = 50_000
+    # path-score ranking loses recall against the leaf-lp key wherever the
+    # corpus is hard: on the calibrated-hard synthetic at 10k, rerank=0
+    # scores 0.846 recall@10 while rerank=128 reaches 0.879 — EXACTLY the
+    # whitened-exact ceiling, i.e. the re-ranked engine is lossless w.r.t.
+    # its input space (pool sizes 128/512/2048 all saturate).  At 100k on
+    # the easy set: rerank=128 -> 0.985, rerank=512 -> 1.000.  The leaf-lp
+    # pass is cheap, so auto-rerank switches on whenever the blocked/Pallas
+    # engines serve (>= blocked_threshold); 512 covers both regimes.
+    rerank_threshold = 8192
     rerank_candidates = 512
+    # serve the fused Pallas sweep whenever its VMEM estimate fits (the
+    # fastest engine at scale: 0.41 ms/query at 1M vs 0.99 for the XLA
+    # blocked path); False pins the XLA blocked path
+    use_pallas = True
+    # per-block candidates the Pallas kernel extracts; the merged pool
+    # (NB * block_k) feeds the leaf-lp re-rank
+    pallas_block_k = 16
+
+    def _engine_topk(self, q, kk: int, rerank: int, tie_noise: bool):
+        """Single dispatch point for the indexed engines: Pallas fused
+        sweep -> XLA blocked -> gather path, each with the optional leaf-lp
+        re-rank.  Works in both single-tree and forest mode (forest queries
+        go through the flattened index).  Returns (scores, ids) DEVICE
+        arrays.
+
+        This is the engine ``predict_fast`` itself serves (the reference's
+        fast path is its default, CobwebWrapper.py:428 — ours must not hide
+        the fastest engine behind a script)."""
+        idx = self._flat_pred_index()
+        if len(self.sentences) >= self.blocked_threshold and not tie_noise:
+            bidx = self._blocked_index()
+            if self.use_pallas:
+                out = self._pallas_topk(bidx, idx, q, kk, rerank)
+                if out is not None:
+                    return out
+            if rerank:
+                cs, cand = index_mod.blocked_query_topk(
+                    bidx, q, min(max(rerank, kk), idx.num_sentences))
+                return self._rerank_step(idx, q, cand, cs, kk)
+            return index_mod.blocked_query_topk(bidx, q, kk)
+        if rerank and not tie_noise:
+            c = min(max(rerank, kk), idx.num_sentences)
+            cs, cand = index_mod.query_topk(idx, q, c)
+            return self._rerank_step(idx, q, cand, cs, kk)
+        key = (jax.random.PRNGKey(len(self.sentences))
+               if tie_noise else None)
+        return index_mod.query_topk(idx, q, kk, key)
+
+    def _rerank_step(self, idx, q, cand, cand_scores, kk: int):
+        """Final candidate re-rank: EXACT (stored-embedding L2, the
+        ``pending_leaf_lp`` closed form) when the vector store is
+        available, else leaf log-prob.  Exact makes the engine lossless
+        w.r.t. whitened exact search whenever the gold is in the pool —
+        leaf-lp cannot order same-leaf near-duplicates (identical lp)."""
+        emb = self._emb_device()
+        if emb is not None:
+            return index_mod.exact_rerank(
+                emb, q, cand.astype(jnp.int32), cand_scores, kk,
+                jnp.float32(self.cfg.prior_var))
+        return index_mod._leaf_lp_rerank(idx, q, cand.astype(jnp.int32),
+                                         cand_scores, kk)
+
+    def _pallas_topk(self, bidx, idx, q, kk: int, rerank: int):
+        """Serve via the Pallas fused sweep, chunking the query batch down
+        to a VMEM-fitting size (the kernel holds (B, M)/(B, TS) scratch in
+        VMEM, so B is the free knob; chunks dispatch async and concatenate
+        on device).  Returns None when even the minimum chunk won't fit —
+        the caller falls back to the XLA blocked path."""
+        from rag_cobweb_tpu.ops import pallas_query as pq
+
+        bk = self.pallas_block_k
+        B = q.shape[0]
+        bmax = B
+        while bmax > 64 and not pq.pallas_fits_vmem(bidx, bmax, bk):
+            bmax = (bmax + 1) // 2
+        if not pq.pallas_fits_vmem(bidx, bmax, bk):
+            return None
+        interp = jax.devices()[0].platform == "cpu"
+
+        def one(qc):
+            if rerank:
+                cs, cand = pq.pallas_blocked_topk(
+                    bidx, qc, max(kk, rerank), interpret=interp, block_k=bk)
+                cs = jnp.where(cs > pq.NEG / 2, cs, -jnp.inf)
+                return self._rerank_step(idx, qc, cand, cs, kk)
+            return pq.pallas_blocked_topk(bidx, qc, kk, interpret=interp)
+
+        if B <= bmax:
+            return one(q)
+        outs = []
+        for s in range(0, B, bmax):
+            qc = q[s:s + bmax]
+            n = qc.shape[0]
+            if n < bmax:  # pad the ragged tail: one compiled program
+                qc = jnp.concatenate(
+                    [qc, jnp.zeros((bmax - n, q.shape[1]), q.dtype)])
+            cs, ids = one(qc)
+            outs.append((cs[:n], ids[:n]))
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+
+    def query_ids(self, queries, k: int, rerank: Optional[int] = None):
+        """Batched serving API: (B, D) embeddings -> (B, k) sentence-id
+        DEVICE array, routed through the same engine dispatch as
+        ``predict_fast`` (Pallas/blocked/gather + auto re-rank).  Returning
+        the device array lets evaluators pipeline batches without a host
+        sync per batch."""
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        kk = min(k, len(self.sentences))
+        if rerank is None:
+            rerank = (self.rerank_candidates
+                      if len(self.sentences) >= self.rerank_threshold else 0)
+        if self.forest is not None:
+            if len(self.sentences) < self.blocked_threshold:
+                fidx = self.forest.build_index()
+                from rag_cobweb_tpu.parallel.vforest import _vforest_query
+                return _vforest_query(fidx, q, kk)[1]
+            return self._engine_topk(q, kk, rerank, tie_noise=False)[1]
+        if self._pending_sids:
+            self._flush_pending()   # serving API always serves exact
+        return self._engine_topk(q, kk, rerank, tie_noise=False)[1]
 
     def predict_fast(self, input, k=5, return_ids=False, is_embedding=False,
                      tie_noise: bool = False, rerank: Optional[int] = None):
@@ -275,17 +433,30 @@ class CobwebIndex:
         q, single = self._as_query_batch(input, is_embedding)
         kk = min(k, len(self.sentences))
         if self.forest is not None:
-            _, top_ids = self.forest.query_topk(np.asarray(q), kk)
+            if len(self.sentences) >= self.blocked_threshold:
+                # at scale the forest serves through its flattened index
+                # on the same Pallas/blocked engine stack as single-tree
+                if rerank is None:
+                    rerank = (self.rerank_candidates
+                              if len(self.sentences) >= self.rerank_threshold
+                              else 0)
+                _, top_ids = self._engine_topk(q, kk, rerank,
+                                               tie_noise=False)
+            else:
+                _, top_ids = self.forest.query_topk(np.asarray(q), kk)
             out = [
                 [i if return_ids else self.sentences[i] for i in row if i >= 0]
                 for row in np.asarray(top_ids).tolist()
             ]
             return out[0] if single else out
+        if self._pending_sids and (tie_noise or rerank == 0):
+            # tie-noise needs the exact index; an EXPLICIT rerank=0 asks for
+            # path-score ranking, which the pending merge (leaf-lp keyed)
+            # would silently override — flush instead of changing semantics.
+            self._flush_pending()
         if rerank is None:
             rerank = (self.rerank_candidates
                       if len(self.sentences) >= self.rerank_threshold else 0)
-        if self._pending_sids and tie_noise:
-            self._flush_pending()   # tie-noise path needs the exact index
         if self._pending_sids:
             # stale-index serve: rerank scores are leaf log-probs — the
             # same scale pending_leaf_lp produces, so the merge is exact
@@ -293,22 +464,7 @@ class CobwebIndex:
         idx = self.build_prediction_index()
         n_indexed = idx.num_sentences
         kk_old = min(kk, n_indexed)
-        if len(self.sentences) >= self.blocked_threshold and not tie_noise:
-            if rerank:
-                top_s, top_ids = index_mod.blocked_query_topk_rerank(
-                    self._blocked_index(), idx, q, kk_old, rerank=rerank
-                )
-            else:
-                top_s, top_ids = index_mod.blocked_query_topk(
-                    self._blocked_index(), q, kk_old
-                )
-        elif rerank and not tie_noise:
-            top_s, top_ids = index_mod.query_topk_rerank(idx, q, kk_old,
-                                                         rerank=rerank)
-        else:
-            key = (jax.random.PRNGKey(len(self.sentences))
-                   if tie_noise else None)
-            top_s, top_ids = index_mod.query_topk(idx, q, kk_old, key)
+        top_s, top_ids = self._engine_topk(q, kk_old, rerank, tie_noise)
         if self._pending_sids:
             top_ids = self._merge_pending(q, top_s, top_ids, kk)
         ids = np.asarray(top_ids)
@@ -464,6 +620,7 @@ class CobwebIndex:
         obj.leaf_of_sentence = [int(l) for l in leaf_of]
         obj._index = None
         obj._blocked = None
+        obj._init_vec_store()
         obj._init_pending()
         obj.blocked_threshold = 8192
         obj._level_weights = None
@@ -485,6 +642,11 @@ class CobwebIndex:
                 [s is None for s in self.sentences], bool
             ),
         )
+        if self.store_embeddings and self._vec_chunks:
+            if len(self._vec_chunks) > 1:
+                self._vec_chunks = [np.concatenate(self._vec_chunks)]
+            if self._vec_chunks[0].shape[0] == len(self.sentences):
+                extras["vectors"] = self._vec_chunks[0]
         if self.forest is not None:
             self.forest.save_npz(path, **extras)
         else:
@@ -516,6 +678,10 @@ class CobwebIndex:
             obj.leaf_of_sentence = []
             obj._index = None
             obj._blocked = None
+            obj._init_vec_store()
+            if "vectors" in extras:
+                obj._vec_chunks = [np.asarray(extras["vectors"],
+                                              np.float32)]
             obj._init_pending()
             obj.blocked_threshold = 8192
             obj._level_weights = None
@@ -538,6 +704,9 @@ class CobwebIndex:
         obj.leaf_of_sentence = [int(l) for l in extras["leaf_of_sentence"]]
         obj._index = None
         obj._blocked = None
+        obj._init_vec_store()
+        if "vectors" in extras:
+            obj._vec_chunks = [np.asarray(extras["vectors"], np.float32)]
         obj._init_pending()
         obj.blocked_threshold = 8192
         obj._level_weights = None

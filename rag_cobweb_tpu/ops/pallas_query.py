@@ -67,11 +67,16 @@ VMEM_BUDGET = 14 * 2**20  # conservative slice of the 16 MB scoped limit
 
 def pallas_vmem_estimate(bidx: BlockedIndex, n_queries: int,
                          block_k: int) -> int:
-    """Rough per-invocation VMEM footprint of ``pallas_blocked_topk``:
-    double-buffered per-block inputs + resident query/intermediate tiles.
-    Callers should fall back to the XLA blocked path when this exceeds
-    ``VMEM_BUDGET`` (observed hard failure: M=1920 blocks -> 19.95 MB
-    scoped-vmem OOM at the 16 MB limit)."""
+    """Per-invocation VMEM footprint of ``pallas_blocked_topk``:
+    double-buffered per-block input streams + resident query tiles +
+    kernel stack scratch.  Scratch counts BOTH (B, M) dot results (the
+    two GEMM partials are live simultaneously before the subtraction)
+    and three (B, TS) tiles (scores, the iota lane map, and the masked
+    copy the iterative top-k rewrites) — calibrated against an observed
+    scoped-vmem OOM: B=1000, M=896, TS=512, D=128 allocated 21.82 MB
+    (this formula: ~20.4 MB + tile padding).  Callers fall back to the
+    XLA blocked path or chunk the query batch when this exceeds
+    ``VMEM_BUDGET``."""
     NB, M, D = bidx.ivt_b.shape
     TS = bidx.W.shape[2]
     B = n_queries
@@ -79,8 +84,9 @@ def pallas_vmem_estimate(bidx: BlockedIndex, n_queries: int,
     per_block = (2 * M * D + M * TS) * itemsize * 2  # dbl-buffered streams
     per_block += (M + TS) * 4 * 2
     resident = 2 * B * D * 4                          # q, q^2
-    inter = B * (M + TS) * 4 + 2 * B * block_k * 4 * 2
-    return per_block + resident + inter
+    scratch = 2 * B * M * 4 + 3 * B * TS * 4          # nlp x2, scores x3
+    outs = 2 * B * block_k * 4 * 2                    # dbl-buffered outputs
+    return per_block + resident + scratch + outs
 
 
 def pallas_fits_vmem(bidx: BlockedIndex, n_queries: int,

@@ -272,6 +272,52 @@ class VForest:
         self._budget = _MAX_STEPS
         self._deep_frac = 0.0
 
+    def warmup_insert_programs(self, n_total: int,
+                               budgets: tuple = ()) -> float:
+        """Pre-compile the insert programs an ``add(n_total)`` will hit,
+        against a THROWAWAY state with identical shapes — so a timed build
+        measures insert throughput, not the remote compile service (the
+        round-2 headline recorded 283 s of cold compile inside
+        ``build_total_s``).  Executes at most one real round per program
+        (n_rounds=1 on zero vectors into the throwaway state).
+
+        ``n_total``: the number of vectors the caller will add in one
+        batch.  ``budgets``: extra primary scan budgets to warm beyond the
+        current adaptive one.  Returns the wall seconds spent."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        K = self.K
+        D = self.cfg.dim
+        R_full = n_total // K
+        Rb = max(8, 1 << (R_full - 1).bit_length()) if R_full else 8
+        # grow NOW so the real add sees the same (already-grown) shapes
+        self._ensure_capacity(R_full + 1)
+        throw = jax.tree.map(jnp.copy, self.state)
+        keys = jax.random.split(jax.random.PRNGKey(0), K * Rb).reshape(
+            K, Rb, -1)
+        zeros = jnp.zeros((K, Rb, D), jnp.float32)
+        for budget in {self._budget, *budgets}:
+            st2, _ = vinsert_rounds(throw, zeros, keys, self.cfg,
+                                    jnp.asarray(1, jnp.int32),
+                                    max_steps=budget)
+            jax.block_until_ready(st2.counts)
+            # ragged remainder round (mask all-off: compile, no mutation)
+            st3, _ = vinsert_masked_round(
+                throw, zeros[:, 0], keys[:, 0],
+                jnp.zeros((K,), bool), self.cfg, max_steps=budget)
+            jax.block_until_ready(st3.counts)
+        # deep retry waves: bucketed pending shapes, all-off masks
+        for R2b in (4, 8, 16, 32):
+            if R2b > Rb:
+                break
+            st4, _ = vinsert_rounds_masked(
+                throw, zeros[:, :R2b], keys[:, :R2b],
+                jnp.zeros((K, R2b), bool), self.cfg,
+                max_steps=_DEEP_STEPS)
+            jax.block_until_ready(st4.counts)
+        return _time.perf_counter() - t0
+
     def _ensure_capacity(self, rounds: int):
         """Grow every lane's node arrays when the next rounds could
         overflow (worst case 2 fresh nodes per insert per lane)."""
@@ -461,13 +507,20 @@ class VForest:
         return np.asarray(scores), np.asarray(gids)
 
     def beam_topk(self, queries: np.ndarray, k: int, beam_width: int = 32,
-                  max_depth: int = 16) -> np.ndarray:
-        """Cross-lane beam retrieval -> (B, k) global sentence ids."""
+                  max_depth: Optional[int] = None) -> np.ndarray:
+        """Cross-lane beam retrieval -> (B, k) global sentence ids.
+
+        ``max_depth=None`` (default) scans to the forest's ACTUAL depth —
+        clamping to a fixed default would make leaves below the clamp
+        silently unretrievable once trees grow deep.  Pass an explicit
+        ``max_depth`` only to trade recall for latency."""
         idx = self.build_index()
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         # round the scan depth up to a multiple of 4 so a deepening forest
         # reuses a handful of compiled beam programs instead of one per depth
-        md = min(max_depth, -(-max(self.max_depth(), 1) // 4) * 4)
+        md = -(-max(self.max_depth(), 1) // 4) * 4
+        if max_depth is not None:
+            md = min(max_depth, md)
         return vforest_beam_topk(idx, q, k, beam_width=beam_width,
                                  max_depth=md)
 

@@ -132,7 +132,9 @@ def test_smoke_sample_corpus():
     assert loaded.predict_fast(query, k=3) == fast
 
 
-def test_fast_build_mode():
+def test_fast_build_deprecated_falls_back():
+    """fast_build was retired (bulk path removed): the flag must warn and
+    fall back to the exact insert path with identical results."""
     rng = np.random.default_rng(12)
     centers = rng.normal(scale=3.0, size=(6, 16))
     embs = np.concatenate(
@@ -142,7 +144,9 @@ def test_fast_build_mode():
     embs = embs[order]
     idx = CobwebIndex(corpus=None, corpus_embeddings=embs[:64],
                       config=TreeConfig(dim=16), capacity=4096)
-    idx.add_sentences([None] * (len(embs) - 64), embs[64:], fast_build=True)
+    with pytest.warns(DeprecationWarning):
+        idx.add_sentences([None] * (len(embs) - 64), embs[64:],
+                          fast_build=True)
     assert len(idx) == len(embs)
     out = idx.predict_fast(embs[100], k=3, is_embedding=True,
                            return_ids=True)
@@ -183,3 +187,133 @@ def test_stale_pending_add_then_query():
     assert scores.shape[0] == len(base) + len(new)
     got2 = db.predict_fast(new[0], k=5, is_embedding=True, return_ids=True)
     assert got2[0] == sid0, (got, got2)
+
+
+def test_pallas_engine_routing():
+    """predict_fast must serve the Pallas fused sweep (interpret mode on
+    CPU) when the corpus exceeds blocked_threshold and the kernel fits
+    VMEM — the fastest engine is the product, not a script-only path."""
+    rng = np.random.default_rng(11)
+    D = 16
+    centers = rng.normal(scale=4.0, size=(8, D)).astype(np.float32)
+    embs = np.concatenate([
+        c + 0.2 * rng.normal(size=(40, D)) for c in centers
+    ]).astype(np.float32)
+    db = CobwebIndex(corpus_embeddings=embs, config=TreeConfig(dim=D))
+    db.blocked_threshold = 64          # force the blocked/Pallas regime
+    assert db.use_pallas
+
+    import rag_cobweb_tpu.ops.pallas_query as pq
+    calls = {"n": 0}
+    orig = pq.pallas_blocked_topk
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    pq.pallas_blocked_topk, saved = spy, orig
+    try:
+        got = db.predict_fast(embs[5], k=5, is_embedding=True,
+                              return_ids=True)
+        assert calls["n"] == 1, "predict_fast did not route through Pallas"
+        assert 5 in got, got
+        # rerank path (pool + leaf-lp rerank) also routes through Pallas
+        got_rr = db.predict_fast(embs[17], k=5, is_embedding=True,
+                                 return_ids=True, rerank=32)
+        assert calls["n"] == 2
+        assert 17 in got_rr, got_rr
+        # batched serving API: device array out, same engine
+        ids = np.asarray(db.query_ids(embs[:8], k=10, rerank=32))
+        assert ids.shape == (8, 10)
+        assert calls["n"] == 3
+        hits = sum(b in ids[b] for b in range(8))
+        assert hits >= 6, (hits, ids)
+    finally:
+        pq.pallas_blocked_topk = saved
+
+    # pinning use_pallas=False falls back to the XLA blocked path
+    db.use_pallas = False
+    got_xla = db.predict_fast(embs[5], k=5, is_embedding=True,
+                              return_ids=True)
+    assert 5 in got_xla
+
+
+def test_explicit_rerank0_flushes_pending():
+    """An explicit rerank=0 asks for path-score ranking; with a pending
+    buffer the merge would silently switch semantics — it must flush."""
+    rng = np.random.default_rng(5)
+    D = 16
+    embs = rng.normal(size=(200, D)).astype(np.float32)
+    db = CobwebIndex(corpus_embeddings=embs, config=TreeConfig(dim=D))
+    db.predict_fast(embs[0], k=3, is_embedding=True)
+    db.add_sentences([None], rng.normal(size=(1, D)).astype(np.float32))
+    assert db._pending_sids
+    db.predict_fast(embs[0], k=3, is_embedding=True, rerank=0)
+    assert not db._pending_sids, "explicit rerank=0 must flush pending"
+
+
+def test_host_struct_rebuild_no_stale_reuse():
+    """Regression for the _HOST_STRUCT id()-aliasing hazard: build, drop,
+    and rebuild indexes repeatedly; the blocked build must always consume
+    the CURRENT tree's structure (and the cache must not leak entries)."""
+    from rag_cobweb_tpu.core import index as index_mod
+
+    rng = np.random.default_rng(7)
+    D = 12
+    n0 = len(index_mod._HOST_STRUCT)
+    for round_i in range(4):
+        embs = rng.normal(scale=3.0, size=(60 + 10 * round_i, D)
+                          ).astype(np.float32)
+        db = CobwebIndex(corpus_embeddings=embs, config=TreeConfig(dim=D))
+        idx = db.build_prediction_index()
+        bidx = index_mod.build_blocked_index(idx, block_size=32)
+        # blocked result must match the gather-path result for THIS tree
+        import jax.numpy as jnp
+        q = jnp.asarray(embs[:8])
+        _, want = index_mod.query_topk(idx, q, 3)
+        _, got = index_mod.blocked_query_topk(bidx, q, 3)
+        for b in range(8):
+            assert set(np.asarray(got)[b]) == set(np.asarray(want)[b])
+        del db, idx, bidx
+    import gc
+    gc.collect()
+    assert len(index_mod._HOST_STRUCT) <= n0 + 1, "host-struct cache leak"
+
+
+def test_exact_rerank_breaks_near_duplicate_ties():
+    """Sentences sharing a leaf (near-duplicates merged by the tree) get
+    identical leaf log-probs, so the old leaf-lp re-rank ordered them
+    arbitrarily; the stored-embedding EXACT re-rank must rank a
+    distance-0 query's gold row first, on every engine route."""
+    rng = np.random.default_rng(0)
+    D = 24
+    base = rng.normal(size=(300, D)).astype(np.float32)
+    gold = base[7]
+    dups = (gold + 0.001 * rng.normal(size=(15, D))).astype(np.float32)
+    corpus = np.concatenate([base, dups]).astype(np.float32)
+    db = CobwebIndex(corpus_embeddings=corpus, config=TreeConfig(dim=D))
+    q = gold.copy()
+    got = db.predict_fast(q, k=3, is_embedding=True, return_ids=True,
+                          rerank=64)
+    assert got[0] == 7, got
+    # blocked / Pallas route
+    db.blocked_threshold = 64
+    db._blocked = None
+    got2 = db.predict_fast(q, k=3, is_embedding=True, return_ids=True,
+                           rerank=64)
+    assert got2[0] == 7, got2
+    # the vector store survives a save/load round trip
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "db.npz")
+        db.save(p)
+        db2 = CobwebIndex.load(p)
+        assert db2._emb_device() is not None
+        got3 = db2.predict_fast(q, k=3, is_embedding=True,
+                                return_ids=True, rerank=64)
+        assert got3[0] == 7, got3
+    # leaf-lp fallback still serves when the store is disabled
+    db.store_embeddings = False
+    got4 = db.predict_fast(q, k=3, is_embedding=True, return_ids=True,
+                           rerank=64)
+    assert 7 in got4, got4
