@@ -2,17 +2,28 @@
 c=10000 corpus / t=1000 queries / encoder-dim 768, PCA+ICA whitening,
 Cobweb "Fast" indexed retrieval at k=10) on one TPU chip, against the
 reference's measured CPU numbers (BASELINE.md: Cobweb PCA+ICA Fast =
-recall@10 0.906 @ 53.1 ms/query).
+recall@10 0.906 @ 53.1 ms/query; FAISS exact = 0.913).
 
-Zero-egress image -> the corpus is a synthetic anisotropic Gaussian-mixture
-embedding set (bench/datasets.synthetic_retrieval) with known gold
-neighbors; recall is reported against the planted gold and gated against
-the exact flat-index baseline computed on device.
+Zero-egress image -> the corpus is the CALIBRATED HARD synthetic
+(bench/datasets.synthetic_retrieval_hard): overlapping heavy-tailed
+clusters + near-duplicate distractor groups at a log-uniform margin
+spectrum, tuned so exact flat recall@10 lands ~0.91 at c=10000 — the same
+regime as the reference's QQP result, so the tracked metric is the
+cobweb-vs-exact recall DELTA (reference: 0.913 - 0.906 = 0.007), not a
+saturated 1.000.  ``--dataset easy`` selects the legacy well-separated
+mixture.
+
+The build defaults to the K-subtree forest (the repo's fastest build
+path) with the insert programs pre-compiled against a throwaway state, so
+``build_total_s`` measures insert throughput, not the remote compile
+service.  Queries are served through ``CobwebIndex.query_ids`` — the SAME
+engine dispatch ``predict_fast`` uses (Pallas fused sweep when it fits
+VMEM, else the XLA blocked path, with auto leaf-lp re-rank).
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 vs_baseline = reference latency / our latency (x-fold speedup) at
-matched-or-better recall@10.
+matched-or-better recall-delta-vs-exact.
 """
 
 import argparse
@@ -28,14 +39,25 @@ def main():
     ap.add_argument("--corpus-size", type=int, default=10000)
     ap.add_argument("--queries", type=int, default=1000)
     ap.add_argument("--dim", type=int, default=768)
-    ap.add_argument("--pca-dim", type=int, default=128)
+    ap.add_argument("--pca-dim", type=float, default=0.96,
+                    help="PCA dim (int) or variance fraction (<1); the "
+                         "reference's callers use 0.90/0.96 fractions. "
+                         "0.96 keeps dim ~248 at D=768: whitened-exact "
+                         "0.895 vs raw-exact 0.906 on the hard set, and "
+                         "the engine serves within 0.001 of that ceiling")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--bulk", action="store_true",
-                    help="build with the frozen-epoch bulk insert path")
-    ap.add_argument("--vforest", type=int, default=0, metavar="K",
-                    help="build a K-subtree forest (vmapped inserts, ~K× "
-                         "insert throughput; queries merge across lanes)")
+    ap.add_argument("--dataset", choices=["hard", "easy"], default="hard",
+                    help="hard = calibrated difficulty (exact ~0.91 at "
+                         "c=10k); easy = legacy separated mixture")
+    ap.add_argument("--vforest", type=int, default=-1, metavar="K",
+                    help="subtree-forest lane count for the build "
+                         "(-1 = auto: 32 at c>=10k; 0/1 = single tree)")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip insert-program pre-compilation (the compile "
+                         "then lands inside build_total_s)")
+    ap.add_argument("--rerank", type=int, default=None,
+                    help="leaf-lp re-rank pool (None = auto)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -44,82 +66,83 @@ def main():
     from rag_cobweb_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()  # the insert program is compile-heavy
 
-    from rag_cobweb_tpu.bench.datasets import synthetic_retrieval
+    from rag_cobweb_tpu.bench.datasets import (
+        synthetic_retrieval, synthetic_retrieval_hard)
     from rag_cobweb_tpu.bench.baselines import FlatIndex
     from rag_cobweb_tpu.bench.metrics import evaluate_retrieval
     from rag_cobweb_tpu.whitening import PCAICAWhiteningModel
     from rag_cobweb_tpu.core.config import TreeConfig
     from rag_cobweb_tpu.core.wrapper import CobwebIndex
 
-    data = synthetic_retrieval(args.corpus_size, args.queries, args.dim)
+    gen = (synthetic_retrieval_hard if args.dataset == "hard"
+           else synthetic_retrieval)
+    data = gen(args.corpus_size, args.queries, args.dim)
     log(f"[bench] corpus {data.corpus_embs.shape}, "
-        f"queries {data.query_embs.shape}")
+        f"queries {data.query_embs.shape} ({data.name})")
 
     t0 = time.perf_counter()
     whitener = PCAICAWhiteningModel.fit(
-        data.corpus_embs, pca_dim=args.pca_dim, ica_max_iter=500, seed=0, ica_sample_size=10000
+        data.corpus_embs,
+        pca_dim=(args.pca_dim if args.pca_dim < 1 else int(args.pca_dim)),
+        ica_max_iter=500, seed=0, ica_sample_size=10000,
     )
     corpus_w = whitener.transform(data.corpus_embs)
     queries_w = whitener.transform(data.query_embs)
     log(f"[bench] PCA+ICA fit+transform: {time.perf_counter()-t0:.1f}s "
         f"-> dim {corpus_w.shape[1]}")
 
-    # build in two stages so steady-state insert throughput is visible
-    # separately from the one-off XLA compile of the insert program
-    warm_n = min(2048, len(corpus_w))
-    t0 = time.perf_counter()
-    db = CobwebIndex(
-        corpus=None, corpus_embeddings=corpus_w[:warm_n],
-        config=TreeConfig(dim=corpus_w.shape[1]),
-        capacity=4 * len(corpus_w) + 16,
-        n_subtrees=args.vforest or 1,
-    )
-    warm_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    if len(corpus_w) > warm_n:
-        if args.bulk and not args.vforest:
-            from rag_cobweb_tpu.core.bulk import bulk_insert
-            leaves = bulk_insert(db.tree, corpus_w[warm_n:])
-            db.sentences.extend([None] * (len(corpus_w) - warm_n))
-            db.leaf_of_sentence.extend(int(l) for l in leaves)
-            db._invalidate_index()
-        else:
+    n_lanes = args.vforest
+    if n_lanes < 0:
+        n_lanes = 32 if args.corpus_size >= 10000 else 1
+    compile_s = 0.0
+
+    if n_lanes > 1:
+        db = CobwebIndex(
+            config=TreeConfig(dim=corpus_w.shape[1]),
+            capacity=4 * len(corpus_w) + 16, n_subtrees=n_lanes,
+        )
+        if not args.no_warmup:
+            compile_s = db.forest.warmup_insert_programs(len(corpus_w))
+            log(f"[bench] insert-program warmup (compile): {compile_s:.1f}s")
+        t0 = time.perf_counter()
+        db.add_sentences([None] * len(corpus_w), corpus_w)
+        build_s = time.perf_counter() - t0
+        rate = len(corpus_w) / build_s
+    else:
+        # single-tree path: two stages so steady-state is visible
+        warm_n = min(2048, len(corpus_w))
+        t0 = time.perf_counter()
+        db = CobwebIndex(
+            corpus=None, corpus_embeddings=corpus_w[:warm_n],
+            config=TreeConfig(dim=corpus_w.shape[1]),
+            capacity=4 * len(corpus_w) + 16,
+        )
+        warm_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        if len(corpus_w) > warm_n:
             db.add_sentences([None] * (len(corpus_w) - warm_n),
                              corpus_w[warm_n:])
-    steady_s = max(time.perf_counter() - t0, 1e-9)
-    build_s = warm_s + steady_s
-    steady_rate = (len(corpus_w) - warm_n) / steady_s if \
-        len(corpus_w) > warm_n else warm_n / warm_s
-    log(f"[bench] tree build: {build_s:.1f}s total "
-        f"(first {warm_n} incl. compile {warm_s:.1f}s; "
-        f"steady-state {steady_rate:.0f} inserts/s)")
+        steady_s = max(time.perf_counter() - t0, 1e-9)
+        build_s = warm_s + steady_s
+        rate = (len(corpus_w) - warm_n) / steady_s if \
+            len(corpus_w) > warm_n else warm_n / warm_s
+        compile_s = warm_s
+    log(f"[bench] tree build: {build_s:.1f}s ({rate:.0f} inserts/s"
+        + (f"; compile/warmup {compile_s:.1f}s excluded" if n_lanes > 1
+           else f", first {min(2048, len(corpus_w))} incl. compile")
+        + ")")
 
-    db.build_prediction_index()
-    if args.vforest:
-        from rag_cobweb_tpu.parallel.vforest import _vforest_query
-        fidx = db.forest.build_index()
-
-        def cobweb_retrieve(q, k):
-            import jax.numpy as jnp
-            _, ids = _vforest_query(fidx, jnp.asarray(q), k)
-            return ids
-    else:
-        use_blocked = len(db) >= db.blocked_threshold
-        blocked = db._blocked_index() if use_blocked else None
-
-        def cobweb_retrieve(q, k):
-            import jax.numpy as jnp
-            from rag_cobweb_tpu.core import index as index_mod
-            if use_blocked:
-                _, ids = index_mod.blocked_query_topk(blocked,
-                                                      jnp.asarray(q), k)
-            else:
-                _, ids = index_mod.query_topk(db._index, jnp.asarray(q), k)
-            return ids  # device array: lets the evaluator pipeline batches
+    # index build (flatten + blocked) happens inside the evaluator's
+    # untimed warmup call; time it here explicitly for visibility
+    t0 = time.perf_counter()
+    db.query_ids(queries_w[:8], args.k, rerank=args.rerank)
+    index_s = time.perf_counter() - t0
+    log(f"[bench] index build + engine warmup: {index_s:.1f}s")
 
     res = evaluate_retrieval(
-        "Cobweb PCA+ICA Fast (TPU)", cobweb_retrieve, queries_w,
-        data.target_ids, args.k, batch_size=args.batch,
+        "Cobweb PCA+ICA Fast (TPU)",
+        lambda q, k: db.query_ids(q, k, rerank=args.rerank),
+        queries_w, data.target_ids, args.k, batch_size=args.batch,
     )
     log(f"[bench] cobweb: recall@10={res.get('recall@10'):.4f} "
         f"latency={res['avg_latency_ms']:.3f} ms/query "
@@ -134,21 +157,25 @@ def main():
         f"latency={exact['avg_latency_ms']:.3f} ms/query")
 
     ref_latency_ms = 53.1    # BASELINE.md: Cobweb PCA+ICA Fast, QQP c=10000
-    ref_recall = 0.906
+    ref_recall = 0.906       # reference cobweb on QQP roberta c=10000
+    ref_exact_recall = 0.913  # reference FAISS exact, same artifact
     ours_ms = res["avg_latency_ms"]
+    delta = exact.get("recall@10", 0.0) - res.get("recall@10", 0.0)
     print(json.dumps({
         "metric": "cobweb_pca_ica_fast_query_latency_c10000",
         "value": round(ours_ms, 4),
         "unit": "ms/query",
         "vs_baseline": round(ref_latency_ms / ours_ms, 2),
+        "dataset": data.name,
         "recall@10": round(res.get("recall@10", 0.0), 4),
         "exact_recall@10": round(exact.get("recall@10", 0.0), 4),
+        "recall_delta_vs_exact": round(delta, 4),
+        "ref_recall_delta_vs_exact": round(ref_exact_recall - ref_recall, 4),
         "ref_recall@10": ref_recall,
-        "recall_vs_exact": round(
-            res.get("recall@10", 0.0) / max(exact.get("recall@10", 1e-9),
-                                            1e-9), 4),
-        "build_inserts_per_s": round(steady_rate, 1),
+        "build_inserts_per_s": round(rate, 1),
         "build_total_s": round(build_s, 1),
+        "compile_warmup_s": round(compile_s, 1),
+        "index_build_s": round(index_s, 1),
         "qps": round(res["qps"], 1),
     }))
 

@@ -248,6 +248,104 @@ def synthetic_retrieval(corpus_size: int = 10000, target_size: int = 1000,
     )
 
 
+def synthetic_retrieval_hard(corpus_size: int = 10000,
+                             target_size: int = 1000, dim: int = 768,
+                             n_clusters: int = 64, noise: float = 1.0,
+                             query_noise: float = 0.55,
+                             query_noise_spread: float = 0.30,
+                             dup_targets_frac: float = 0.25,
+                             dup_group: int = 30,
+                             dup_noise_min: float = 0.02,
+                             dup_noise_max: float = 0.5,
+                             df: float = 5.0, anisotropy: float = 0.85,
+                             seed: int = 0) -> SyntheticEmbeddings:
+    """Calibrated HARD retrieval distribution: exact flat recall@10 lands
+    ~0.9 at c=10k (matching the reference's hard regime — QQP roberta
+    c10000: FAISS recall@10 = 0.913,
+    /root/reference/outputs/qqp/...c10000_t1000_k20_d21a8956.txt) so the
+    cobweb-vs-exact delta is a metric that can actually move, instead of
+    the saturated ~1.000 of ``synthetic_retrieval``.
+
+    Three difficulty mechanisms, mirroring what makes QQP hard:
+
+      * **overlapping clusters**: cluster centers at unit scale with
+        unit-scale intra-cluster noise — no margin between clusters;
+      * **heavy-tailed noise**: Student-t (``df``) intra-cluster and query
+        noise, so a tail of queries lands far from its gold row;
+      * **near-duplicate distractor groups at controlled margins**:
+        ``dup_targets_frac`` of the gold targets get ``dup_group``
+        near-copies planted in the corpus — the analog of QQP's
+        paraphrase clusters
+        (/root/reference/src/benchmarks/qqp_dataset.py:14-36).  A dup at
+        radius r (in units of the query offset) beats the gold with
+        probability ~Phi(-r*sqrt(2*D_eff)/2), a transition that lives
+        entirely in r ~ [0, ~0.1] at these dimensions; per-group radii
+        are drawn LOG-UNIFORM in [dup_noise_min, dup_noise_max] so the
+        groups span a margin spectrum: the tightest defeat even exact
+        search, and the marginal ones are exactly where an engine with
+        extra score noise (approximate sweeps, bf16, path-score
+        calibration) loses recall first — the discriminative band the
+        saturated easy dataset lacks.
+
+    Per-query difficulty is log-normal (``query_noise_spread``); in
+    isolation the high-D concentration keeps the gold nearest (verified:
+    recall 1.0 without dup groups even at query_noise=1.5), so the dup
+    margins carry the difficulty by design.
+    """
+    rng = np.random.default_rng(seed)
+
+    def tnoise(shape):
+        t = rng.standard_t(df, size=shape)
+        return (t / np.sqrt(df / (df - 2.0))).astype(np.float32)
+
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=corpus_size)
+    corpus = centers[assign] + noise * tnoise((corpus_size, dim))
+
+    # anisotropy: same spectral shaping as synthetic_retrieval — a few
+    # dominant directions (what PCA+ICA whitening is for)
+    scales = np.where(
+        np.arange(dim) < max(4, dim // 24), 1.0,
+        (1.0 - anisotropy) + anisotropy * np.exp(
+            -np.arange(dim) / (dim / 6.0))
+    ).astype(np.float32)
+
+    target_ids = rng.choice(corpus_size, size=target_size, replace=False)
+
+    # per-query noise scale: lognormal spread around query_noise
+    qscale = (query_noise * np.exp(
+        query_noise_spread * rng.normal(size=(target_size, 1))
+    )).astype(np.float32)
+    queries = corpus[target_ids] + qscale * tnoise((target_size, dim))
+
+    # near-duplicate groups: overwrite non-target corpus rows with
+    # near-copies of a subset of targets, at radius dup_noise * qscale
+    n_dup_t = int(round(dup_targets_frac * target_size))
+    n_dup_rows = n_dup_t * dup_group
+    free = np.setdiff1d(np.arange(corpus_size), target_ids,
+                        assume_unique=False)
+    if n_dup_rows > len(free):
+        n_dup_t = len(free) // max(dup_group, 1)
+        n_dup_rows = n_dup_t * dup_group
+    if n_dup_t > 0:
+        dup_t = rng.choice(target_size, size=n_dup_t, replace=False)
+        slots = rng.choice(free, size=n_dup_rows, replace=False)
+        src = np.repeat(target_ids[dup_t], dup_group)
+        # per-group margin: log-uniform radius spectrum
+        r_group = np.exp(rng.uniform(
+            np.log(dup_noise_min), np.log(dup_noise_max), size=(n_dup_t, 1)
+        )).astype(np.float32)
+        radius = np.repeat(qscale[dup_t] * r_group, dup_group, axis=0)
+        corpus[slots] = corpus[src] + radius * tnoise((n_dup_rows, dim))
+
+    corpus = corpus * scales[None, :]
+    queries = queries * scales[None, :]
+    return SyntheticEmbeddings(
+        corpus.astype(np.float32), queries.astype(np.float32),
+        target_ids.astype(np.int64), f"synthhard_c{corpus_size}_d{dim}"
+    )
+
+
 def load_sts(split: str = "train",
              score_threshold: Optional[float] = None) -> tuple:
     """STS-Benchmark sentence pairs with similarity scores (reference
