@@ -44,7 +44,9 @@ class FlatIndex:
         self.embs = embs
         self._sq_norms = jnp.sum(jnp.square(embs), axis=1)
 
-    def search(self, queries: np.ndarray, k: int) -> np.ndarray:
+    def search_device(self, queries, k: int):
+        """(B, D) -> (B, k) ids as a DEVICE array (no host sync) — lets
+        evaluators pipeline batches and timers measure device time only."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None, :]
@@ -53,7 +55,10 @@ class FlatIndex:
                                 1e-12)
         _, ids = _flat_topk(q, self.embs, self._sq_norms,
                             min(k, self.embs.shape[0]), self.metric == "l2")
-        return np.asarray(ids)
+        return ids
+
+    def search(self, queries: np.ndarray, k: int) -> np.ndarray:
+        return np.asarray(self.search_device(queries, k))
 
     __call__ = search
 

@@ -1,0 +1,156 @@
+"""Roofline / MFU sweep: per-engine achieved FLOPs & HBM bandwidth vs the
+v5e peaks, across batch sizes (VERDICT r2 #3: quantify whether the engine
+latencies are hardware-bound or leaving 10x on the table).
+
+Engines: exact flat GEMM, XLA blocked sweep, Pallas fused sweep, beam,
+leaf-lp re-rank — each timed with a median-of-5 synchronous batch round
+trip at B in {32 .. 4096}, then reported against its analytic cost model
+(bench/roofline.py).
+
+Usage:
+  python scripts/roofline_benchmark.py --corpus-size 100000 \
+      --batches 32,256,1024,4096 [--out outputs/roofline_100k.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed(fn, *args, reps: int = 5):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus-size", type=int, default=100000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--pca-dim", type=int, default=128)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--rerank", type=int, default=512)
+    p.add_argument("--lanes", type=int, default=64)
+    p.add_argument("--batches", type=str, default="32,256,1024,4096")
+    p.add_argument("--beam-width", type=int, default=64)
+    p.add_argument("--skip-beam", action="store_true")
+    p.add_argument("--dataset", choices=["hard", "easy"], default="hard")
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args()
+
+    from rag_cobweb_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    from rag_cobweb_tpu.bench.datasets import (
+        synthetic_retrieval, synthetic_retrieval_hard)
+    from rag_cobweb_tpu.bench import roofline as rl
+    from rag_cobweb_tpu.bench.baselines import FlatIndex
+    from rag_cobweb_tpu.whitening import PCAICAWhiteningModel
+    from rag_cobweb_tpu.core.config import TreeConfig
+    from rag_cobweb_tpu.core.wrapper import CobwebIndex
+    from rag_cobweb_tpu.core import index as index_mod
+    from rag_cobweb_tpu.ops import pallas_query as pq
+
+    gen = (synthetic_retrieval_hard if args.dataset == "hard"
+           else synthetic_retrieval)
+    n_q = 4096
+    data = gen(args.corpus_size, min(n_q, args.corpus_size // 4), args.dim)
+    log(f"[roofline] corpus {data.corpus_embs.shape} ({data.name})")
+    wh = PCAICAWhiteningModel.fit(data.corpus_embs, pca_dim=args.pca_dim,
+                                  ica_max_iter=500, seed=0,
+                                  ica_sample_size=10000)
+    corpus_w = wh.transform(data.corpus_embs)
+    queries_w = wh.transform(data.query_embs)
+    D = corpus_w.shape[1]
+
+    db = CobwebIndex(config=TreeConfig(dim=D),
+                     capacity=4 * len(corpus_w) + 16,
+                     n_subtrees=args.lanes)
+    db.forest.warmup_insert_programs(len(corpus_w))
+    t0 = time.perf_counter()
+    db.add_sentences([None] * len(corpus_w), corpus_w)
+    log(f"[roofline] build: {time.perf_counter() - t0:.1f}s")
+    flat = db._flat_pred_index()
+    bidx = db._blocked_index()
+    NB, M, _ = bidx.ivt_b.shape
+    TS = bidx.W.shape[2]
+    N = flat.num_nodes
+    S = flat.num_sentences
+    log(f"[roofline] NB={NB} M={M} TS={TS} N={N}")
+
+    fi = FlatIndex(corpus_w, metric="l2")
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    rows = []
+    for B in [int(x) for x in args.batches.split(",")]:
+        q = jnp.asarray(np.resize(queries_w, (B, D)).astype(np.float32))
+
+        ms, _ = timed(lambda qq: fi.search_device(qq, args.k), q)
+        rows.append(rl.exact_flat_model(B, len(corpus_w), D)
+                    .report(ms, B))
+
+        ms, _ = timed(lambda qq: index_mod.blocked_query_topk(
+            bidx, qq, args.k), q)
+        rows.append(rl.model_for_blocked_index(bidx, B, fused=False)
+                    .report(ms, B))
+
+        if pq.pallas_fits_vmem(bidx, B, db.pallas_block_k):
+            ms, _ = timed(lambda qq: pq.pallas_blocked_topk(
+                bidx, qq, max(args.k, args.rerank),
+                interpret=not on_tpu, block_k=db.pallas_block_k), q)
+            rows.append(rl.model_for_blocked_index(bidx, B, fused=True)
+                        .report(ms, B))
+        else:
+            ms, _ = timed(lambda qq: db._pallas_topk(
+                bidx, flat, qq, args.k, args.rerank), q)
+            r = rl.model_for_blocked_index(bidx, B, fused=True).report(ms, B)
+            r["engine"] = "pallas_fused_chunked"
+            rows.append(r)
+
+        ms, _ = timed(lambda qq: index_mod._leaf_lp_rerank(
+            flat, qq, jnp.zeros((B, args.rerank), jnp.int32),
+            jnp.zeros((B, args.rerank), jnp.float32), args.k), q)
+        rows.append(rl.leaf_rerank_model(B, args.rerank, D).report(ms, B))
+
+        if not args.skip_beam:
+            depth = -(-max(db.forest.max_depth(), 1) // 4) * 4
+            sidx = db.forest.build_index()
+            from rag_cobweb_tpu.parallel.vforest import _vforest_beam
+            ms, _ = timed(lambda qq: _vforest_beam(
+                sidx, qq, args.k, args.beam_width, depth), q)
+            F = int(flat.children.shape[1])
+            # K lanes each run the full beam: model scales by lane count
+            m = rl.beam_model(B * args.lanes, depth, args.beam_width, F, D)
+            rows.append(m.report(ms, B))
+
+        for r in rows[-5:]:
+            log(f"[roofline] B={B} {r['engine']}: {r['measured_ms']} ms "
+                f"(min {r['roofline_min_ms']} ms, {r['bound']}-bound, "
+                f"MFU {r['mfu_pct']}%, HBM {r['hbm_pct']}%)")
+
+    out = {"corpus_size": args.corpus_size, "dim": D, "NB": NB, "M": M,
+           "TS": TS, "nodes": N, "sentences": S, "rows": rows}
+    if args.out:
+        import os
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

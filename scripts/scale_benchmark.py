@@ -35,8 +35,6 @@ def main():
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--beam-width", type=int, default=128)
     p.add_argument("--chunk", type=int, default=2048)
-    p.add_argument("--fast-build", action="store_true",
-                   help="insert via the frozen-epoch bulk path")
     p.add_argument("--vforest", type=int, default=0, metavar="K",
                    help="K-subtree forest build (vmapped inserts)")
     p.add_argument("--rerank", type=int, default=128,
@@ -78,8 +76,7 @@ def main():
         t0 = time.perf_counter()
         while inserted < size:
             n = min(args.chunk, size - inserted)
-            db.add_sentences([None] * n, corpus_w[inserted:inserted + n],
-                             fast_build=args.fast_build)
+            db.add_sentences([None] * n, corpus_w[inserted:inserted + n])
             inserted += n
         dt = time.perf_counter() - t0
         rate = (size - (results[-1]["size"] if results else 0)) / dt
