@@ -133,6 +133,7 @@ def build_flat_forest_index(
     level_weights: Sequence[float] = DEFAULT_LEVEL_WEIGHTS,
     pad_depth_to: int = 4,
     as_numpy: bool = False,
+    host_struct=None,
 ) -> PredictionIndex:
     """ONE PredictionIndex over a whole K-lane stacked forest state.
 
@@ -159,9 +160,14 @@ def build_flat_forest_index(
                  and means.size >= (1 << 24)
                  and next(iter(means.devices())).platform != "cpu")
     if on_device:
-        children_h = np.asarray(jax.device_get(stacked_state.children))
-        parent_h = np.asarray(jax.device_get(stacked_state.parent))
-        root_h = np.asarray(jax.device_get(stacked_state.root))
+        if host_struct is not None:
+            # incrementally-synced host mirror (VForest._sync_host_structure)
+            # — the full device_get below costs ~16 s at 1M via the relay
+            children_h, parent_h, root_h = host_struct
+        else:
+            children_h = np.asarray(jax.device_get(stacked_state.children))
+            parent_h = np.asarray(jax.device_get(stacked_state.parent))
+            root_h = np.asarray(jax.device_get(stacked_state.root))
         K, cap = parent_h.shape
         device_stats = (
             jnp.reshape(stacked_state.counts, (K * cap,)),
@@ -235,6 +241,69 @@ def _compact_stats_device(counts, means, m2s, order, prior_var: float,
 
 
 _NODE_BUCKET = 65536  # live-node padding quantum for the device stats path
+_SENT_BUCKET = 65536  # sentence padding quantum for the device struct path
+
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def _derive_paths_device(parent_compact, leaf_compact, P: int, lw):
+    """Device-side root->leaf path derivation: the parent chase is a
+    P-step ``lax.scan`` of (S,)-gathers in HBM instead of the host numpy
+    loop (the 1M flatten's 32-126 s run-to-run-variable tail — host
+    memory pressure on the (S, P) chains arrays; on device the whole
+    pass is milliseconds).  ``leaf_compact`` rows < 0 are padding.
+
+    Returns (paths (S, P) root->leaf -1-padded, weights (S, P),
+    path_len (S,))."""
+    def step(cur, _):
+        nxt = jnp.where(cur >= 0, parent_compact[jnp.maximum(cur, 0)],
+                        jnp.int32(-1))
+        return nxt, cur
+
+    _, chains = jax.lax.scan(step, leaf_compact, None, length=P)
+    chains = chains.T                                   # (S, P) leaf->root
+    plen = jnp.sum(chains >= 0, axis=1)
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    src = plen[:, None].astype(jnp.int32) - 1 - pos
+    paths = jnp.where(
+        src >= 0,
+        jnp.take_along_axis(chains, jnp.maximum(src, 0), axis=1),
+        jnp.int32(-1),
+    )
+    weights = jnp.where(
+        paths >= 0,
+        lw[None, :] / jnp.maximum(plen, 1)[:, None].astype(jnp.float32),
+        0.0,
+    ).astype(jnp.float32)
+    return paths, weights, plen
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _leaf_layout_device(leaf_compact, lane, n_pad: int):
+    """Device-side leaf run-length layout: stable-argsort sentences by
+    leaf then by lane (two int32 passes — a combined lane*N+leaf key
+    overflows int32 at forest scale, and x64 is disabled), then scatter
+    first-position/count per leaf.  Padding rows (leaf < 0) sort to the
+    end.  Returns (sentence_order (S,), leaf_start (n_pad,), leaf_count)."""
+    BIG = jnp.int32(np.iinfo(np.int32).max)
+    leaf_key = jnp.where(leaf_compact >= 0, leaf_compact, BIG)
+    lane_key = jnp.where(leaf_compact >= 0, lane, BIG)
+    o1 = jnp.argsort(leaf_key, stable=True).astype(jnp.int32)
+    o2 = jnp.argsort(lane_key[o1], stable=True).astype(jnp.int32)
+    order = o1[o2]
+    sorted_leaves = leaf_compact[order]                  # (S,) -1 = pad
+    S = order.shape[0]
+    safe = jnp.where(sorted_leaves >= 0, sorted_leaves, n_pad)
+    first = jnp.concatenate([
+        jnp.ones((1,), bool), sorted_leaves[1:] != sorted_leaves[:-1]
+    ]) & (sorted_leaves >= 0)
+    leaf_start = jnp.full((n_pad + 1,), -1, jnp.int32).at[
+        jnp.where(first, safe, n_pad)
+    ].max(jnp.arange(S, dtype=jnp.int32), mode="drop")
+    # .at[].max against -1 init: first occurrence index is the minimum,
+    # but each leaf has exactly ONE first row, so max == that index
+    leaf_count = jnp.zeros((n_pad + 1,), jnp.int32).at[safe].add(
+        jnp.where(sorted_leaves >= 0, 1, 0), mode="drop")
+    return order, leaf_start[:n_pad], leaf_count[:n_pad]
 
 
 def _build_index_from_arrays(
@@ -290,45 +359,72 @@ def _build_index_from_arrays(
     has_parent = live_parents >= 0
     parent_compact[has_parent] = compact_of[live_parents[has_parent]]
 
-    # chase: row s = [leaf, parent(leaf), ..., root], then reverse
-    chains = np.full((S, P), -1, np.int32)
-    cur = leaf_compact.copy()
-    for p in range(P):
-        chains[:, p] = cur
-        nxt = np.where(cur >= 0, parent_compact[np.maximum(cur, 0)], -1)
-        cur = nxt
-    path_len = (chains >= 0).sum(1)
-    # reverse each row's valid prefix so paths run root->leaf
-    rows = np.arange(S)[:, None]
-    pos = np.arange(P)[None, :]
-    src = path_len[:, None] - 1 - pos
-    paths = np.where(src >= 0, chains[rows, np.maximum(src, 0)],
-                     np.int32(-1))
-
     lw = np.ones((P,), np.float32)
     lw[: min(len(level_weights), P)] = np.asarray(
         list(level_weights)[:P], np.float32
     )
-    weights = np.where(
-        paths >= 0, lw[None, :] / np.maximum(path_len, 1)[:, None], 0.0
-    ).astype(np.float32)
-    _pt.lap("paths+weights")
-
-    # --- sentence run-length layout per leaf (for beam search) ------------
     if lane_of_sentence is not None:
-        sort_key = (lane_of_sentence.astype(np.int64) * (n_live + 1)
-                    + leaf_compact)
+        sort_key_h = (lane_of_sentence.astype(np.int64) * (n_live + 1)
+                      + leaf_compact)
     else:
-        sort_key = leaf_compact
-    sent_order = np.argsort(sort_key, kind="stable").astype(np.int32)
-    sorted_leaves = leaf_compact[sent_order]
-    leaf_start = np.full((n_live,), -1, np.int32)
-    leaf_count = np.zeros((n_live,), np.int32)
-    uniq, starts, counts = np.unique(
-        sorted_leaves, return_index=True, return_counts=True
-    )
-    leaf_start[uniq] = starts.astype(np.int32)
-    leaf_count[uniq] = counts.astype(np.int32)
+        sort_key_h = leaf_compact.astype(np.int64)
+
+    device_struct = device_stats is not None and not as_numpy
+    if device_struct:
+        # the whole per-sentence structure pass runs in HBM: the host
+        # numpy chase/reverse/argsort over (S, P) arrays was the 1M
+        # flatten's 32-126 s run-to-run-variable tail (ROADMAP r2 #1);
+        # uploads are a few MB (parent table + leaf/sort keys), and the
+        # jitted programs are bucketed on S so repeated refreshes reuse
+        # compiles.
+        n_pad = -(-max(n_live, 1) // _NODE_BUCKET) * _NODE_BUCKET
+        S_pad = -(-max(S, 1) // _SENT_BUCKET) * _SENT_BUCKET
+        leaf_pad = np.full((S_pad,), -1, np.int32)
+        leaf_pad[:S] = leaf_compact
+        lane_pad = np.zeros((S_pad,), np.int32)
+        if lane_of_sentence is not None:
+            lane_pad[:S] = lane_of_sentence.astype(np.int32)
+        paths_d, weights_d, _ = _derive_paths_device(
+            jnp.asarray(parent_compact), jnp.asarray(leaf_pad), P,
+            jnp.asarray(lw))
+        order_d, start_d, count_d = _leaf_layout_device(
+            jnp.asarray(leaf_pad), jnp.asarray(lane_pad), n_pad)
+        paths = paths_d[:S]
+        weights = weights_d[:S]
+        sent_order = order_d[:S]
+        leaf_start = start_d
+        leaf_count = count_d
+        _pt.lap("device paths+layout", sync=sent_order)
+    else:
+        # chase: row s = [leaf, parent(leaf), ..., root], then reverse
+        chains = np.full((S, P), -1, np.int32)
+        cur = leaf_compact.copy()
+        for p in range(P):
+            chains[:, p] = cur
+            nxt = np.where(cur >= 0, parent_compact[np.maximum(cur, 0)], -1)
+            cur = nxt
+        path_len = (chains >= 0).sum(1)
+        # reverse each row's valid prefix so paths run root->leaf
+        rows = np.arange(S)[:, None]
+        pos = np.arange(P)[None, :]
+        src = path_len[:, None] - 1 - pos
+        paths = np.where(src >= 0, chains[rows, np.maximum(src, 0)],
+                         np.int32(-1))
+        weights = np.where(
+            paths >= 0, lw[None, :] / np.maximum(path_len, 1)[:, None], 0.0
+        ).astype(np.float32)
+        _pt.lap("paths+weights")
+
+        # --- sentence run-length layout per leaf (for beam search) --------
+        sent_order = np.argsort(sort_key_h, kind="stable").astype(np.int32)
+        sorted_leaves = leaf_compact[sent_order]
+        leaf_start = np.full((n_live,), -1, np.int32)
+        leaf_count = np.zeros((n_live,), np.int32)
+        uniq, starts, counts = np.unique(
+            sorted_leaves, return_index=True, return_counts=True
+        )
+        leaf_start[uniq] = starts.astype(np.int32)
+        leaf_count[uniq] = counts.astype(np.int32)
 
     # --- compact stats (host numpy, ONE upload) ---------------------------
     # these are elementwise over (N_live, D): doing them eagerly on device
@@ -391,7 +487,10 @@ def _build_index_from_arrays(
         sentence_order=wrap(sent_order),
     )
     _pt.lap("wrap/upload", sync=None if as_numpy else out_idx.paths)
-    if not as_numpy:
+    if not as_numpy and not device_struct:
+        # device_struct builds keep paths/weights/order in HBM only; the
+        # blocked build consumes them there (_block_key_stage) instead of
+        # from this host-copy cache
         _register_host_struct(out_idx.paths, paths, weights, sent_order)
     return out_idx
 
@@ -569,6 +668,14 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
     """
     _pt = _PhaseTimer("blk")
     hs = _HOST_STRUCT.get(id(index.paths))
+    if hs is None and isinstance(index.paths, jax.Array):
+        # device-struct index (1M forest flatten): the whole blocked build
+        # runs in HBM — per-block sort/unique/scatter as two jitted stages
+        # (one scalar d2h fixes the static M) instead of downloading the
+        # (S, P) structure through the relay and sorting on the host
+        # (29 s batched unique at 1M, plus the d2h)
+        return _build_blocked_index_device(index, block_size, node_pad,
+                                           dtype, _pt)
     if hs is not None:
         paths, weights, order = hs
     else:
@@ -673,6 +780,86 @@ def build_blocked_index(index: PredictionIndex, block_size: int = 512,
         const_b=jnp.asarray(const_b), W=jnp.asarray(W, dtype),
         valid=jnp.asarray(valid), sid_of_slot=jnp.asarray(sid_of_slot),
     )
+
+
+def _build_blocked_index_device(index: PredictionIndex, TS: int,
+                                node_pad: int, dtype, _pt) -> BlockedIndex:
+    """Fully device-resident blocked build (see build_blocked_index)."""
+    S, P = index.paths.shape
+    NB = max(1, -(-S // TS))
+    order = index.sentence_order.astype(jnp.int32)
+    pad = NB * TS - S
+    if pad:
+        order_pad = jnp.concatenate(
+            [order, jnp.full((pad,), -1, jnp.int32)])
+    else:
+        order_pad = order
+    bp, bw, ord_idx, skey, is_new, max_m = _block_key_stage(
+        index.paths, index.path_weights, order_pad, TS)
+    M = -(-max(int(max_m), 1) // node_pad) * node_pad  # one scalar d2h
+    _pt.lap("device key stage")
+    nodes_pad, local, pad_mask = _block_scatter_stage(
+        bp, ord_idx, skey, is_new, M, TS)
+    W = _build_W_device(local, bw.reshape(NB, TS, P), M, TS)
+    ivt_b, movt_b, const_b = _gather_blocked_stats_device(
+        index.inv_var_T, index.mu_over_var_T, index.const,
+        nodes_pad, pad_mask, jnp.dtype(dtype).name)
+    _pt.lap("device scatter+stats", sync=const_b)
+    out = BlockedIndex(
+        ivt_b=ivt_b, movt_b=movt_b, const_b=const_b,
+        W=W.astype(jnp.dtype(dtype)),
+        valid=(order_pad >= 0).reshape(NB, TS),
+        sid_of_slot=jnp.maximum(order_pad, 0).reshape(NB, TS),
+    )
+    _pt.lap("W cast", sync=out.W)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("TS",))
+def _block_key_stage(paths, weights, order_pad, TS: int):
+    """Device stage 1 of the blocked build: gather each block's sentence
+    paths (leaf order), sort the keyed path entries per block, and mark
+    first occurrences.  Returns the max per-block unique count as a
+    traced scalar — the ONLY value the host needs (to fix the static M
+    of stage 2)."""
+    safe = jnp.maximum(order_pad, 0)
+    valid = order_pad >= 0
+    bp = jnp.where(valid[:, None], paths[safe], jnp.int32(-1))
+    bw = jnp.where(valid[:, None], weights[safe], 0.0)
+    P = paths.shape[1]
+    NB = order_pad.shape[0] // TS
+    flat = bp.reshape(NB, TS * P)
+    SENT = jnp.int32(np.iinfo(np.int32).max)
+    keyed = jnp.where(flat >= 0, flat, SENT)
+    ord_idx = jnp.argsort(keyed, axis=1).astype(jnp.int32)
+    skey = jnp.take_along_axis(keyed, ord_idx, 1)
+    is_new = jnp.concatenate([
+        (skey[:, :1] != SENT),
+        (skey[:, 1:] != skey[:, :-1]) & (skey[:, 1:] != SENT),
+    ], axis=1)
+    m_per_block = jnp.sum(is_new, axis=1)
+    return bp, bw, ord_idx, skey, is_new, jnp.max(m_per_block)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "TS"))
+def _block_scatter_stage(bp, ord_idx, skey, is_new, M: int, TS: int):
+    """Device stage 2: per-block unique node table (NB, M) + the local
+    index of every (slot, hop) path entry, both via flat scatters."""
+    NB = ord_idx.shape[0]
+    P = bp.shape[1]
+    local_sorted = jnp.cumsum(is_new, axis=1) - 1
+    rows = jnp.arange(NB, dtype=jnp.int32)[:, None]
+    tgt = jnp.where(is_new, jnp.minimum(local_sorted, M - 1), M)
+    nodes_pad = jnp.zeros((NB, M + 1), jnp.int32).at[rows, tgt].set(
+        skey, mode="drop")[:, :M]
+    local = jnp.zeros_like(ord_idx).at[rows, ord_idx].set(
+        jnp.maximum(local_sorted, 0).astype(jnp.int32))
+    local = local.reshape(NB, TS, P)
+    ok = bp.reshape(NB, TS, P) >= 0
+    m_per_block = jnp.sum(is_new, axis=1)
+    pad_mask = jnp.arange(M, dtype=jnp.int32)[None, :] >= \
+        m_per_block[:, None]
+    return nodes_pad, jnp.where(ok, local, jnp.int32(-1)), pad_mask
 
 
 @functools.partial(jax.jit, static_argnames=("M", "TS"))

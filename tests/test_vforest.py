@@ -233,3 +233,29 @@ def test_exact_path_retry_on_scan_budget(data):
         assert all(b in gids[b] for b in range(8))
     finally:
         vf_mod._MAX_STEPS = old
+
+
+def test_host_structure_mirror_sync():
+    """The incrementally-synced host mirror of (children, parent, root)
+    must match a full device_get after every add — including after
+    capacity growth (full refetch) and a second diff-only sync."""
+    import jax
+    from rag_cobweb_tpu.parallel.vforest import VForest
+    from rag_cobweb_tpu.core.config import TreeConfig
+
+    rng = np.random.default_rng(0)
+    vf = VForest(TreeConfig(dim=12), n_subtrees=4, capacity_per_tree=1024,
+                 seed=0)
+    for step in range(3):
+        vf.add(rng.normal(size=(40, 12)).astype(np.float32))
+        ch, pa, rt = vf._sync_host_structure()
+        np.testing.assert_array_equal(
+            ch, np.asarray(jax.device_get(vf.state.children)), step)
+        np.testing.assert_array_equal(
+            pa, np.asarray(jax.device_get(vf.state.parent)), step)
+        np.testing.assert_array_equal(
+            rt, np.asarray(jax.device_get(vf.state.root)), step)
+    # idempotent sync with zero changes
+    ch2, pa2, _ = vf._sync_host_structure()
+    np.testing.assert_array_equal(ch2, ch)
+    np.testing.assert_array_equal(pa2, pa)
