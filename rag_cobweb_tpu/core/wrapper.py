@@ -157,8 +157,9 @@ class CobwebIndex:
         n_new = len(self.sentences) - n0
         limit = max(self.stale_pending_limit,
                     int(0.05 * len(self.sentences)))
-        if (self.stale_reads and self.forest is None
-                and self._index is not None
+        has_stale = (self._flat_cache is not None if self.forest is not None
+                     else self._index is not None)
+        if (self.stale_reads and has_stale
                 and len(self._pending_sids) + n_new <= limit):
             self._pending_sids.extend(range(n0, n0 + n_new))
             self._pending_vecs = (
@@ -200,12 +201,15 @@ class CobwebIndex:
     def _init_pending(self):
         self._pending_sids: list[int] = []
         self._pending_vecs: Optional[np.ndarray] = None
+        self._flat_cache = None   # forest mode: last-built flat index,
+        #                           retained across adds for stale serving
         self.stale_reads = True
         self.stale_pending_limit = 4096
 
     def _invalidate_index(self):
         self._index = None
         self._blocked = None
+        self._flat_cache = None
         self._pending_sids = []
         self._pending_vecs = None
 
@@ -284,9 +288,13 @@ class CobwebIndex:
         every large-scale engine (blocked / Pallas / re-rank) consumes.  In
         forest mode this is the whole forest flattened via the multi-root
         BFS (VForest.flat_index); single-tree mode it is the ordinary
-        prediction index."""
+        prediction index.  With a pending buffer active, the retained
+        STALE flat index serves (pending rows merge by closed form)."""
         if self.forest is not None:
-            return self.forest.flat_index()
+            if self._pending_sids and self._flat_cache is not None:
+                return self._flat_cache
+            self._flat_cache = self.forest.flat_index()
+            return self._flat_cache
         return self.build_prediction_index()
 
     def _blocked_index(self) -> index_mod.BlockedIndex:
@@ -367,6 +375,11 @@ class CobwebIndex:
         from rag_cobweb_tpu.ops import pallas_query as pq
 
         bk = self.pallas_block_k
+        if rerank and bidx.ivt_b.shape[0] * bk < max(kk, rerank):
+            # the kernel's merged pool is NB * block_k candidates; with few
+            # blocks it cannot honor the requested re-rank pool — silently
+            # truncating it loses recall (caught by the forest stale test)
+            return None
         B = q.shape[0]
         bmax = B
         while bmax > 64 and not pq.pallas_fits_vmem(bidx, bmax, bk):
@@ -408,14 +421,13 @@ class CobwebIndex:
         if rerank is None:
             rerank = (self.rerank_candidates
                       if len(self.sentences) >= self.rerank_threshold else 0)
-        if self.forest is not None:
-            if len(self.sentences) < self.blocked_threshold:
-                fidx = self.forest.build_index()
-                from rag_cobweb_tpu.parallel.vforest import _vforest_query
-                return _vforest_query(fidx, q, kk)[1]
-            return self._engine_topk(q, kk, rerank, tie_noise=False)[1]
         if self._pending_sids:
             self._flush_pending()   # serving API always serves exact
+        if (self.forest is not None
+                and len(self.sentences) < self.blocked_threshold):
+            fidx = self.forest.build_index()
+            from rag_cobweb_tpu.parallel.vforest import _vforest_query
+            return _vforest_query(fidx, q, kk)[1]
         return self._engine_topk(q, kk, rerank, tie_noise=False)[1]
 
     def predict_fast(self, input, k=5, return_ids=False, is_embedding=False,
@@ -432,23 +444,20 @@ class CobwebIndex:
         """
         q, single = self._as_query_batch(input, is_embedding)
         kk = min(k, len(self.sentences))
-        if self.forest is not None:
-            if len(self.sentences) >= self.blocked_threshold:
-                # at scale the forest serves through its flattened index
-                # on the same Pallas/blocked engine stack as single-tree
-                if rerank is None:
-                    rerank = (self.rerank_candidates
-                              if len(self.sentences) >= self.rerank_threshold
-                              else 0)
-                _, top_ids = self._engine_topk(q, kk, rerank,
-                                               tie_noise=False)
-            else:
-                _, top_ids = self.forest.query_topk(np.asarray(q), kk)
+        if (self.forest is not None
+                and len(self.sentences) < self.blocked_threshold):
+            # small forest: per-lane merged query (no flat index needed)
+            if self._pending_sids:
+                self._flush_pending()
+            _, top_ids = self.forest.query_topk(np.asarray(q), kk)
             out = [
                 [i if return_ids else self.sentences[i] for i in row if i >= 0]
                 for row in np.asarray(top_ids).tolist()
             ]
             return out[0] if single else out
+        # shared indexed path: single-tree, or forest-at-scale through the
+        # flattened index — both serve the Pallas/blocked engine stack and
+        # both support stale-index + pending-closed-form serving
         if self._pending_sids and (tie_noise or rerank == 0):
             # tie-noise needs the exact index; an EXPLICIT rerank=0 asks for
             # path-score ranking, which the pending merge (leaf-lp keyed)
@@ -461,7 +470,7 @@ class CobwebIndex:
             # stale-index serve: rerank scores are leaf log-probs — the
             # same scale pending_leaf_lp produces, so the merge is exact
             rerank = rerank or self.rerank_candidates
-        idx = self.build_prediction_index()
+        idx = self._flat_pred_index()
         n_indexed = idx.num_sentences
         kk_old = min(kk, n_indexed)
         top_s, top_ids = self._engine_topk(q, kk_old, rerank, tie_noise)

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Tuning-surface validation (VERDICT r2 #10): measure recall-vs-rerank-
+pool and recall-vs-beam-width curves on the HARD dataset so the serving
+defaults (rerank_candidates, rerank_threshold, beam_width) come from
+measured curves instead of constants.
+
+Usage:
+  python scripts/tuning_sweep.py --corpus-size 100000 \
+      [--out outputs/tuning_100k.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from rag_cobweb_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus-size", type=int, default=100000)
+    p.add_argument("--queries", type=int, default=1000)
+    p.add_argument("--dim", type=int, default=768)
+    p.add_argument("--pca-dim", type=float, default=0.96)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--lanes", type=int, default=64)
+    p.add_argument("--pools", type=str, default="0,64,128,256,512,1024,2048")
+    p.add_argument("--widths", type=str, default="8,16,32,64,128")
+    p.add_argument("--skip-beam", action="store_true")
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args()
+
+    from rag_cobweb_tpu.bench.datasets import synthetic_retrieval_hard
+    from rag_cobweb_tpu.bench.baselines import FlatIndex
+    from rag_cobweb_tpu.whitening import PCAICAWhiteningModel
+    from rag_cobweb_tpu.core.config import TreeConfig
+    from rag_cobweb_tpu.core.wrapper import CobwebIndex
+
+    def log(*a):
+        print(*a, file=sys.stderr, flush=True)
+
+    pca_dim = args.pca_dim if args.pca_dim < 1 else int(args.pca_dim)
+    data = synthetic_retrieval_hard(args.corpus_size, args.queries,
+                                    args.dim)
+    gold = data.target_ids
+
+    def recall(ids):
+        return float(np.mean([
+            g in row[:args.k] for row, g in zip(np.asarray(ids), gold)
+        ]))
+
+    exact_raw = recall(FlatIndex(data.corpus_embs, metric="l2")
+                       .search(data.query_embs, args.k))
+    wh = PCAICAWhiteningModel.fit(
+        data.corpus_embs[:100_000], pca_dim=pca_dim, ica_max_iter=500,
+        seed=0, ica_sample_size=10000)
+    cw = wh.transform(data.corpus_embs)
+    qw = wh.transform(data.query_embs)
+    exact_w = recall(FlatIndex(cw, metric="l2").search(qw, args.k))
+    log(f"[sweep] exact raw {exact_raw} whitened {exact_w} "
+        f"(dim {cw.shape[1]})")
+
+    db = CobwebIndex(config=TreeConfig(dim=cw.shape[1]),
+                     capacity=4 * len(cw) + 16, n_subtrees=args.lanes)
+    db.forest.warmup_insert_programs(len(cw))
+    t0 = time.perf_counter()
+    db.add_sentences([None] * len(cw), cw)
+    log(f"[sweep] build {time.perf_counter()-t0:.1f}s")
+
+    out = {"corpus_size": args.corpus_size, "dim": int(cw.shape[1]),
+           "exact_raw": exact_raw, "exact_whitened": exact_w,
+           "pool_curve": [], "beam_curve": []}
+    for pool in [int(x) for x in args.pools.split(",")]:
+        t0 = time.perf_counter()
+        ids = db.query_ids(qw, args.k, rerank=pool)
+        r = recall(ids)
+        dt = (time.perf_counter() - t0) * 1e3 / len(qw)
+        out["pool_curve"].append(
+            {"pool": pool, "recall": round(r, 4),
+             "ms_per_query": round(dt, 4)})
+        log(f"[sweep] pool={pool}: recall {r:.4f} ({dt:.3f} ms/q incl. "
+            "first-call compile)")
+
+    if not args.skip_beam:
+        for w in [int(x) for x in args.widths.split(",")]:
+            t0 = time.perf_counter()
+            ids = db.forest.beam_topk(qw, args.k, beam_width=w)
+            r = recall(ids)
+            dt = (time.perf_counter() - t0) * 1e3 / len(qw)
+            out["beam_curve"].append(
+                {"beam_width": w, "recall": round(r, 4),
+                 "ms_per_query": round(dt, 4)})
+            log(f"[sweep] beam={w}: recall {r:.4f} ({dt:.3f} ms/q)")
+
+    if args.out:
+        import os
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

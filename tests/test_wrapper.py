@@ -217,13 +217,15 @@ def test_pallas_engine_routing():
                               return_ids=True)
         assert calls["n"] == 1, "predict_fast did not route through Pallas"
         assert 5 in got, got
-        # rerank path (pool + leaf-lp rerank) also routes through Pallas
+        # rerank path (pool + exact rerank) also routes through Pallas
+        # (pool <= NB * block_k so the kernel can honor it; larger pools
+        # fall back to the XLA sweep by design)
         got_rr = db.predict_fast(embs[17], k=5, is_embedding=True,
-                                 return_ids=True, rerank=32)
+                                 return_ids=True, rerank=16)
         assert calls["n"] == 2
         assert 17 in got_rr, got_rr
         # batched serving API: device array out, same engine
-        ids = np.asarray(db.query_ids(embs[:8], k=10, rerank=32))
+        ids = np.asarray(db.query_ids(embs[:8], k=10, rerank=16))
         assert ids.shape == (8, 10)
         assert calls["n"] == 3
         hits = sum(b in ids[b] for b in range(8))
@@ -317,3 +319,43 @@ def test_exact_rerank_breaks_near_duplicate_ties():
     got4 = db.predict_fast(q, k=3, is_embedding=True, return_ids=True,
                            rerank=64)
     assert 7 in got4, got4
+
+
+def test_forest_stale_pending_add_then_query():
+    """Forest mode must also serve add-then-query WITHOUT an index
+    rebuild: the retained stale flat index + the pending closed form
+    (previously forest adds always invalidated and repaid a full
+    flatten + blocked rebuild)."""
+    rng = np.random.default_rng(9)
+    D = 16
+    centers = rng.normal(scale=4.0, size=(8, D)).astype(np.float32)
+    base = np.concatenate([
+        c + 0.2 * rng.normal(size=(40, D)) for c in centers
+    ]).astype(np.float32)
+    db = CobwebIndex(corpus_embeddings=base, config=TreeConfig(dim=D),
+                     n_subtrees=4)
+    db.blocked_threshold = 64          # force the flat-index regime
+    db.predict_fast(base[0], k=3, is_embedding=True)   # builds flat cache
+    assert db._flat_cache is not None
+
+    flat_before = db._flat_cache
+    new = (centers[3] + 0.2 * rng.normal(size=(20, D))).astype(np.float32)
+    db.add_sentences([None] * len(new), new)
+    assert db._pending_sids, "forest adds should land in pending"
+    assert db._flat_cache is flat_before, "stale flat index must survive"
+
+    sid0 = len(base)
+    got = db.predict_fast(new[0], k=5, is_embedding=True, return_ids=True)
+    assert got[0] == sid0, got
+    assert db._flat_cache is flat_before, "query must not rebuild"
+    # old rows still retrievable through the stale index
+    got_old = db.predict_fast(base[7], k=5, is_embedding=True,
+                              return_ids=True)
+    assert 7 in got_old, got_old
+    # exact consumers flush and rebuild with the new rows included
+    # (explicit rerank: below rerank_threshold the auto path-score
+    # ranking ties same-cluster rows)
+    ids = np.asarray(db.query_ids(new[:4], k=5, rerank=64))
+    assert not db._pending_sids
+    assert ids.shape == (4, 5)
+    assert ids[0][0] == sid0, ids[0]
