@@ -48,15 +48,24 @@ class TPIndex(NamedTuple):
     path_weights: jnp.ndarray  # (K, S/K, P)
     sid: jnp.ndarray        # (K, S/K) local row -> global sentence id, -1 pad
     leaf: jnp.ndarray       # (K, S/K) local row -> leaf compact node idx
+    emb: jnp.ndarray        # (K, S/K, Dp) stored embeddings sharded along S
+    #                         (zeros-sized (K, S/K, 0) when not provided)
 
     @property
     def n_shards(self) -> int:
         return self.ivt.shape[0]
 
 
-def shard_index(index: PredictionIndex, n_shards: int) -> TPIndex:
+def shard_index(index: PredictionIndex, n_shards: int,
+                embeddings=None) -> TPIndex:
     """Split a built PredictionIndex into ``n_shards`` TP shards (host-side
-    reshapes; arrays are placed onto the mesh by ``tp_query_topk``)."""
+    reshapes; arrays are placed onto the mesh by ``tp_query_topk``).
+
+    ``embeddings``: optional (S, D) stored corpus vectors — enables the
+    EXACT cross-shard re-rank (candidates re-keyed by true L2 to the
+    stored row, globally calibrated, so the merged ordering equals the
+    single-device exact re-rank; the leaf-lp fallback key ties same-leaf
+    near-duplicates)."""
     ivt = np.asarray(index.inv_var_T)
     movt = np.asarray(index.mu_over_var_T)
     D, N = ivt.shape
@@ -81,6 +90,15 @@ def shard_index(index: PredictionIndex, n_shards: int) -> TPIndex:
         pw = np.pad(pw, ((0, Sp - S), (0, 0)))
         sid = np.pad(sid, (0, Sp - S), constant_values=-1)
         leaf = np.pad(leaf, (0, Sp - S))
+    if embeddings is not None:
+        emb = np.asarray(embeddings, np.float32)
+        if emb.shape[1] != Dp:   # match the query's D padding
+            emb = np.pad(emb, ((0, 0), (0, Dp - emb.shape[1])))
+        if Sp != S:
+            emb = np.pad(emb, ((0, Sp - S), (0, 0)))
+        emb = emb.reshape(n_shards, Sp // n_shards, Dp)
+    else:
+        emb = np.zeros((n_shards, Sp // n_shards, 0), np.float32)
     return TPIndex(
         ivt=jnp.asarray(ivt), movt=jnp.asarray(movt),
         const=jnp.asarray(index.const),
@@ -88,6 +106,7 @@ def shard_index(index: PredictionIndex, n_shards: int) -> TPIndex:
         path_weights=jnp.asarray(pw.reshape(n_shards, Sp // n_shards, Pd)),
         sid=jnp.asarray(sid.reshape(n_shards, Sp // n_shards)),
         leaf=jnp.asarray(leaf.reshape(n_shards, Sp // n_shards)),
+        emb=jnp.asarray(emb),
     )
 
 
@@ -136,7 +155,14 @@ def _tp_query(mesh: Mesh, axis: str, k: int, rerank: int):
         kk = min(max(k, rerank), scores.shape[1])
         top, rows = jax.lax.top_k(scores, kk)               # (B, kk)
         gids = sid[rows]
-        if rerank:
+        if rerank and tpidx.emb.shape[-1] > 0:
+            # EXACT re-rank key: -||q - x||^2 on the stored rows —
+            # globally calibrated, so the all_gather merge ordering
+            # equals the single-device exact re-rank
+            x = tpidx.emb[0][rows]                          # (B, kk, Dp)
+            d2 = jnp.sum(jnp.square(q[:, None, :] - x), -1)
+            top = jnp.where(jnp.isfinite(top), -d2, -jnp.inf)
+        elif rerank:
             leaves = tpidx.leaf[0][rows]                    # (B, kk)
             lp = jnp.take_along_axis(nlp, leaves, axis=1)
             top = jnp.where(jnp.isfinite(top), lp, -jnp.inf)
@@ -152,7 +178,7 @@ def _tp_query(mesh: Mesh, axis: str, k: int, rerank: int):
         per_shard, mesh=mesh,
         in_specs=(TPIndex(ivt=P(axis), movt=P(axis), const=P(),
                           paths=P(axis), path_weights=P(axis), sid=P(axis),
-                          leaf=P(axis)), P()),
+                          leaf=P(axis), emb=P(axis)), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -163,11 +189,14 @@ class TPPredictionIndex:
     """One tree's prediction index sharded over a mesh (query facade)."""
 
     def __init__(self, index: PredictionIndex, mesh: Mesh,
-                 axis: str = "shard"):
+                 axis: str = "shard", embeddings=None):
+        """``embeddings``: optional (S, D) stored corpus vectors — enables
+        the exact cross-shard re-rank (see ``shard_index``)."""
         self.mesh = mesh
         self.axis = axis
         self.n_shards = int(mesh.devices.size)
-        self.tpidx = place(shard_index(index, self.n_shards), mesh, axis)
+        self.tpidx = place(shard_index(index, self.n_shards, embeddings),
+                           mesh, axis)
 
     def query_topk(self, queries, k: int, rerank: int = 0):
         q = np.atleast_2d(np.asarray(queries, np.float32))

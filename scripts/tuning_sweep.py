@@ -91,7 +91,12 @@ def main():
     if not args.skip_beam:
         for w in [int(x) for x in args.widths.split(",")]:
             t0 = time.perf_counter()
-            ids = db.forest.beam_topk(qw, args.k, beam_width=w)
+            # chunk the query batch: every lane beams every query, so the
+            # (K*B*W*F, D) candidate gather OOMs HBM at B=1000/dim~450
+            chunks = [db.forest.beam_topk(qw[s0:s0 + 128], args.k,
+                                          beam_width=w)
+                      for s0 in range(0, len(qw), 128)]
+            ids = np.concatenate(chunks)
             r = recall(ids)
             dt = (time.perf_counter() - t0) * 1e3 / len(qw)
             out["beam_curve"].append(

@@ -72,3 +72,21 @@ def test_forest_mesh_single_host():
     assert local_shard_count(mesh) == len(jax.devices())
     mesh2 = forest_mesh(shards_per_host=4)
     assert local_shard_count(mesh2) == 4
+
+
+def test_tp_exact_rerank_matches_single_device_ordering(built):
+    """With stored embeddings, the TP cross-shard merge key is the exact
+    stored-vector L2 — globally calibrated, so the merged ORDERING must
+    equal the single-device exact re-rank (not just the candidate set).
+    This pins the semantics the leaf-lp fallback cannot guarantee."""
+    idx, xs = built
+    mesh = make_mesh(8)
+    tp = TPPredictionIndex(idx, mesh, embeddings=xs)
+    q = jnp.asarray(xs[:16] + 0.01)
+    _, want = index_mod.exact_rerank(
+        jnp.asarray(xs), q,
+        jnp.broadcast_to(jnp.arange(len(xs), dtype=jnp.int32),
+                         (16, len(xs))),
+        jnp.zeros((16, len(xs))), 5)
+    _, got = tp.query_topk(np.asarray(q), 5, rerank=64)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
