@@ -109,6 +109,17 @@ def beam_model(B: int, depth: int, W: int, F: int, D: int) -> EngineModel:
     return EngineModel("beam", flops, hbm)
 
 
+def beam_pack_model(B: int, depth: int, C: int, D: int,
+                    pack_bytes: int = 4) -> EngineModel:
+    """Packed beam (core/index.beam_pack_topk): per level ONE gather of
+    (B, C) interleaved (2D,) stat rows + a batched (B, C, 2D) dot.  HBM
+    is the packed-row gather traffic; candidate budget C replaces W*F."""
+    cand = B * C
+    flops = depth * cand * 4.0 * D
+    hbm = depth * cand * (2.0 * D * pack_bytes + 8)
+    return EngineModel("beam_pack", flops, hbm)
+
+
 def leaf_rerank_model(B: int, C: int, D: int) -> EngineModel:
     """Leaf-lp re-rank of C candidates/query: gathered stats + elementwise."""
     flops = B * C * 4.0 * D

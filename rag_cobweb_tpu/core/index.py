@@ -1055,3 +1055,301 @@ def leaves_to_sentence_ids(index: PredictionIndex, leaf_nodes: np.ndarray,
         o = off[b, j]
         out[b, o:o + t] = sorder[s[b, j]:s[b, j] + t]
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Packed beam engine                                                          #
+# --------------------------------------------------------------------------- #
+#
+# The original beam (``beam_search_topk``) gathers every beam node's FULL
+# fanout-padded child slab — (B, W*F, D) rows, twice, in f32 — and the
+# vforest wrapper vmapped that over K lanes.  Measured on the v5e
+# (scripts/beam_microbench.py), TPU row-gathers are RATE-limited (~23M
+# rows/s regardless of row bytes), so the padded slots (true fanout is
+# 2-4, F is 16) and the second gather were 10x pure waste, and per-lane
+# vmap scaled linearly in lanes.  The packed engine fixes all three:
+#
+#   * ONE interleaved stats table ``pack = [mu/var | -0.5/var]`` (N, 2D):
+#     node score = dot([q, q^2], pack_row) + const — one gather, not two;
+#   * VARIABLE-fanout expansion: children are CONTIGUOUS in the compact
+#     BFS numbering (build_index levels-ravel construction), so the next
+#     frontier is described by (first_child, n_children) runs and packed
+#     into a fixed candidate budget C ~= W * avg_fanout by a row-wise
+#     searchsorted over the run-length cumsum — only live children rows
+#     are ever gathered;
+#   * the FOREST is one beam, not K: the flat multi-root index (lanes =
+#     compact rows [0, K)) makes cross-lane search a single beam whose
+#     width focuses on the most promising lanes, instead of K vmapped
+#     beams each paying the full gather rate.
+#
+# Reference role: CobwebTorchTree._cobweb_categorize heap search
+# (CobwebTorchTree.py:235-289); this is the production engine for it —
+# ``beam_search_topk`` stays as the budget-unlimited oracle.
+
+
+class BeamIndex(NamedTuple):
+    """Gather-optimal beam structures derived from a PredictionIndex."""
+
+    pack: jnp.ndarray          # (N, 2D) [mu_over_var | -0.5*inv_var]
+    const: jnp.ndarray         # (N,)
+    child_start: jnp.ndarray   # (N,) first-child compact id, -1
+    child_count: jnp.ndarray   # (N,)
+    leaf_sentence_start: jnp.ndarray   # (N,)
+    leaf_sentence_count: jnp.ndarray   # (N,)
+    sentence_order: jnp.ndarray        # (S,)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.const.shape[0]
+
+
+# beyond this node count the pack is stored bf16 (halves HBM: the pack is
+# N x 2D); gathers are row-rate-limited so this costs no query time, and
+# the exact re-rank restores f32 ordering on the final pool
+_BEAM_PACK_BF16_NODES = 1 << 19
+
+
+def build_beam_index(index: PredictionIndex,
+                     pack_dtype=None) -> BeamIndex:
+    """Derive the packed beam structures (one-time, on device).
+
+    ``pack_dtype``: None = auto (f32, bf16 at >= 2^19 nodes).
+    """
+    children = index.children
+    valid = children >= 0
+    child_count = jnp.sum(valid, axis=1).astype(jnp.int32)
+    # children of a node occupy CONSECUTIVE compact ids (BFS construction:
+    # each level is the ravel of the previous level's children rows), so
+    # the run start is the minimum valid entry
+    big = jnp.int32(2**30)
+    child_start = jnp.min(jnp.where(valid, children, big), axis=1)
+    child_start = jnp.where(child_count > 0, child_start, -1).astype(jnp.int32)
+    if pack_dtype is None:
+        pack_dtype = (jnp.bfloat16 if index.const.shape[0]
+                      >= _BEAM_PACK_BF16_NODES else jnp.float32)
+    pack = jnp.concatenate(
+        [index.mu_over_var_T.T, -0.5 * index.inv_var_T.T], axis=1
+    ).astype(pack_dtype)
+    return BeamIndex(
+        pack=pack, const=index.const,
+        child_start=child_start, child_count=child_count,
+        leaf_sentence_start=index.leaf_sentence_start,
+        leaf_sentence_count=index.leaf_sentence_count,
+        sentence_order=index.sentence_order,
+    )
+
+
+def _runs_pack(starts, counts, budget: int):
+    """Pack per-row (start, count) runs into ``budget`` consecutive slots.
+
+    starts/counts: (B, W) -> (ids (B, budget) i32, valid (B, budget) bool).
+    Row-wise searchsorted over the inclusive cumsum locates each output
+    slot's source run; runs beyond the budget are truncated (rows are in
+    beam-score order, so truncation drops the worst parents' children).
+    """
+    cum = jnp.cumsum(counts, axis=1)                     # (B, W) inclusive
+    off = cum - counts
+    t = jnp.arange(budget, dtype=jnp.int32)
+    j = jax.vmap(
+        lambda row: jnp.searchsorted(row, t, side="right")
+    )(cum).astype(jnp.int32)                             # (B, budget)
+    W = counts.shape[1]
+    jc = jnp.minimum(j, W - 1)
+    within = t[None, :] - jnp.take_along_axis(off, jc, 1)
+    ids = jnp.take_along_axis(starts, jc, 1) + within
+    valid = (j < W) & (t[None, :] < cum[:, -1:])
+    return jnp.where(valid, ids, 0), valid
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "beam_width", "max_depth", "cand_budget", "n_roots"))
+def beam_pack_topk(bidx: BeamIndex, queries: jnp.ndarray, k: int,
+                   beam_width: int = 32, max_depth: int = 16,
+                   cand_budget: int = 0, n_roots: int = 1):
+    """Packed beam search -> (leaf_scores (B, M), leaf_nodes (B, M)).
+
+    Scores are leaf log-probs (the reference heap key).  ``cand_budget``
+    0 = auto (4 * effective width, multiple of 64).  ``n_roots``: the flat
+    forest's lane roots are compact rows [0, n_roots); the root level is
+    scored densely and the beam prunes lanes from there.
+    """
+    B = queries.shape[0]
+    q = queries.astype(jnp.float32)
+    qq = jnp.concatenate([q, jnp.square(q)], axis=1)     # (B, 2D)
+    qq_c = qq.astype(bidx.pack.dtype)
+    f32 = bidx.pack.dtype == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32 else None
+    NEG = jnp.float32(-3e38)
+    W = max(beam_width, n_roots)
+    C = cand_budget or min(64 * max(1, -(-4 * W // 64)), W * 16)
+
+    def score_rows(rows, cand):                          # (B, M, 2D) bf16/f32
+        s = jax.lax.dot_general(
+            qq_c, rows, (((1,), (2,)), ((0,), (0,))),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+        return s + bidx.const[cand]
+
+    # root level: dense over compact rows [0, n_roots)
+    root_rows = jnp.broadcast_to(
+        bidx.pack[:n_roots], (B, n_roots, bidx.pack.shape[1]))
+    root_ids = jnp.broadcast_to(
+        jnp.arange(n_roots, dtype=jnp.int32), (B, n_roots))
+    root_s = score_rows(root_rows, root_ids)             # (B, n_roots)
+    pad = W - n_roots
+    nodes0 = jnp.concatenate(
+        [root_ids, jnp.full((B, pad), -1, jnp.int32)], axis=1)
+    scores0 = jnp.concatenate(
+        [root_s, jnp.full((B, pad), NEG)], axis=1)
+
+    def mask_leaves(nodes, scores):
+        is_leaf = (nodes >= 0) & (
+            bidx.leaf_sentence_count[jnp.maximum(nodes, 0)] > 0)
+        return jnp.where(is_leaf, nodes, -1), jnp.where(is_leaf, scores, NEG)
+
+    def step(nodes, _):
+        safe = jnp.maximum(nodes, 0)
+        st = bidx.child_start[safe]
+        ct = jnp.where((nodes >= 0) & (st >= 0),
+                       bidx.child_count[safe], 0)
+        cand, valid = _runs_pack(st, ct, C)              # (B, C)
+        s = jnp.where(valid, score_rows(bidx.pack[cand], cand), NEG)
+        top, ids = jax.lax.top_k(s, W)
+        new_nodes = jnp.where(
+            top > NEG / 2, jnp.take_along_axis(cand, ids, 1), -1)
+        return new_nodes, mask_leaves(new_nodes, top)
+
+    root_leaf = mask_leaves(nodes0, scores0)             # single-node lanes
+    _, (seg_nodes, seg_scores) = jax.lax.scan(
+        step, nodes0, jnp.arange(max_depth))
+    all_nodes = jnp.concatenate(
+        [jnp.transpose(seg_nodes, (1, 0, 2)).reshape(B, max_depth * W),
+         root_leaf[0]], axis=1)
+    all_scores = jnp.concatenate(
+        [jnp.transpose(seg_scores, (1, 0, 2)).reshape(B, max_depth * W),
+         root_leaf[1]], axis=1)
+    leaf_cap = min(all_scores.shape[1], max(2 * W, k))
+    lscores, ids = jax.lax.top_k(all_scores, leaf_cap)
+    leaves = jnp.take_along_axis(all_nodes, ids, axis=1)
+    leaves = jnp.where(lscores > NEG / 2, leaves, -1)
+    return lscores, leaves
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def leaf_runs_to_sids(start, count, order, leaves, scores, k: int):
+    """Ranked leaf runs -> first k sentence ids per query, on device.
+
+    leaves (B, M) sorted desc by ``scores``; -1 invalid.  The device
+    analog of ``leaves_to_sentence_ids`` (which stays for the host parity
+    path) using the same searchsorted-over-cumsum expansion as
+    ``_runs_pack``."""
+    safe = jnp.maximum(leaves, 0)
+    ok = (leaves >= 0) & jnp.isfinite(scores) & (scores > -3e38 / 2)
+    s0 = jnp.where(ok, start[safe], -1)
+    c = jnp.where(ok & (s0 >= 0), count[safe], 0)
+    ids, valid = _runs_pack(jnp.maximum(s0, 0), c, k)
+    sid = order[ids]
+    return jnp.where(valid, sid, -1)
+
+
+def beam_query_ids(bidx: BeamIndex, queries, k: int, beam_width: int = 32,
+                   max_depth: int = 16, n_roots: int = 1,
+                   cand_budget: int = 0) -> jnp.ndarray:
+    """Packed beam -> (B, k) sentence ids (device array, -1 padded)."""
+    q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+    scores, leaves = beam_pack_topk(
+        bidx, q, k, beam_width=beam_width, max_depth=max_depth,
+        cand_budget=cand_budget, n_roots=n_roots)
+    return leaf_runs_to_sids(
+        bidx.leaf_sentence_start, bidx.leaf_sentence_count,
+        bidx.sentence_order, leaves, scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "lane_width", "max_depth", "cand_budget", "n_lanes"))
+def beam_pack_topk_lanes(bidx: BeamIndex, queries: jnp.ndarray, k: int,
+                         lane_width: int = 16, max_depth: int = 16,
+                         cand_budget: int = 0, n_lanes: int = 1):
+    """LANE-FAIR packed beam over a flat multi-root forest index.
+
+    The global beam (``beam_pack_topk``) prunes whole lanes on internal-
+    node scores; on hard (overlapping-cluster) distributions those scores
+    cannot arbitrate across lanes and recall collapses (measured 0.505 vs
+    0.927 per-lane at 100k hard).  Here every lane keeps its own
+    ``lane_width`` beam to the leaves — the cross-lane merge happens only
+    at the calibrated leaf log-prob, like the per-lane vmapped beam this
+    replaces, but the expansion is still ONE flat row-gather per level
+    (vmapped per-lane gathers paid the gather rate once per lane).
+
+    Frontier layout: (B, n_lanes, W_l) in the flat compact space; lane
+    l's segment starts at its root (compact row l).  Candidate packing,
+    scoring, and top-k run on the folded (B * n_lanes, ...) rows.
+    Returns (leaf_scores (B, M), leaf_nodes (B, M)) merged across lanes.
+    """
+    B = queries.shape[0]
+    K, Wl = n_lanes, lane_width
+    q = queries.astype(jnp.float32)
+    qq = jnp.concatenate([q, jnp.square(q)], axis=1)
+    qq_c = qq.astype(bidx.pack.dtype)
+    f32 = bidx.pack.dtype == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32 else None
+    NEG = jnp.float32(-3e38)
+    # tight budget: ~4x per-lane width (avg fanout is 2-4; F=16 is the
+    # pad), 16-multiple for top_k lane alignment.  XLA materializes the
+    # (B*K, C, 2D) gathered rows before the dot, so every unused slot is
+    # real HBM traffic, not just wasted gather rate.
+    C = cand_budget or min(16 * max(1, -(-4 * Wl // 16)), Wl * 16)
+    # per-lane query rows, folded: (B*K, 2D)
+    qq_f = jnp.broadcast_to(qq_c[:, None, :], (B, K, qq_c.shape[1])
+                            ).reshape(B * K, -1)
+
+    def score_rows(rows, cand):                 # rows (R, M, 2D), cand (R, M)
+        s = jax.lax.dot_general(
+            qq_f, rows, (((1,), (2,)), ((0,), (0,))),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+        return s + bidx.const[cand]
+
+    # init: lane l's beam = [root_l, -1, ...] — roots are compact rows [0, K)
+    roots = jnp.arange(K, dtype=jnp.int32)
+    nodes0 = jnp.full((B * K, Wl), -1, jnp.int32)
+    nodes0 = nodes0.at[:, 0].set(jnp.tile(roots, B))
+    root_rows = bidx.pack[nodes0[:, :1].clip(0)]          # (B*K, 1, 2D)
+    root_s = score_rows(root_rows, nodes0[:, :1])
+    scores0 = jnp.concatenate(
+        [root_s, jnp.full((B * K, Wl - 1), NEG)], axis=1)
+
+    def mask_leaves(nodes, scores):
+        is_leaf = (nodes >= 0) & (
+            bidx.leaf_sentence_count[jnp.maximum(nodes, 0)] > 0)
+        return jnp.where(is_leaf, nodes, -1), jnp.where(is_leaf, scores, NEG)
+
+    def step(nodes, _):
+        safe = jnp.maximum(nodes, 0)
+        st = bidx.child_start[safe]
+        ct = jnp.where((nodes >= 0) & (st >= 0), bidx.child_count[safe], 0)
+        cand, valid = _runs_pack(st, ct, C)               # (B*K, C)
+        s = jnp.where(valid, score_rows(bidx.pack[cand], cand), NEG)
+        top, ids = jax.lax.top_k(s, Wl)                   # per-lane top-k
+        new_nodes = jnp.where(
+            top > NEG / 2, jnp.take_along_axis(cand, ids, 1), -1)
+        return new_nodes, mask_leaves(new_nodes, top)
+
+    root_leaf = mask_leaves(nodes0, scores0)              # single-node lanes
+    _, (seg_nodes, seg_scores) = jax.lax.scan(
+        step, nodes0, jnp.arange(max_depth))
+    # (depth, B*K, Wl) -> (B, depth*K*Wl) cross-lane flatten
+    M = max_depth * K * Wl
+    all_nodes = jnp.concatenate(
+        [jnp.transpose(seg_nodes, (1, 0, 2)).reshape(B, M),
+         root_leaf[0].reshape(B, K * Wl)], axis=1)
+    all_scores = jnp.concatenate(
+        [jnp.transpose(seg_scores, (1, 0, 2)).reshape(B, M),
+         root_leaf[1].reshape(B, K * Wl)], axis=1)
+    # k ranked leaves already yield >= k sentences (every run has >= 1);
+    # the margin absorbs invalid slots without a (B, depth*K*Wl) sort
+    leaf_cap = min(all_scores.shape[1], max(k + Wl, 64))
+    lscores, ids = jax.lax.top_k(all_scores, leaf_cap)
+    leaves = jnp.take_along_axis(all_nodes, ids, axis=1)
+    leaves = jnp.where(lscores > NEG / 2, leaves, -1)
+    return lscores, leaves

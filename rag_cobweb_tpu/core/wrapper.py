@@ -210,8 +210,21 @@ class CobwebIndex:
         self._index = None
         self._blocked = None
         self._flat_cache = None
+        self._beam_cache = None
+        self._beam_src = None
         self._pending_sids = []
         self._pending_vecs = None
+
+    def _beam_index(self) -> index_mod.BeamIndex:
+        """Packed BeamIndex over the current flat index (cached)."""
+        if self.forest is not None:
+            return self.forest.beam_index()
+        idx = self._flat_pred_index()
+        if getattr(self, "_beam_cache", None) is None \
+                or self._beam_src is not idx:
+            self._beam_cache = index_mod.build_beam_index(idx)
+            self._beam_src = idx
+        return self._beam_cache
 
     def _flush_pending(self):
         """Force exact-index semantics (rank_scores, beam, diagnostics)."""
@@ -524,14 +537,12 @@ class CobwebIndex:
                 for row in sids.tolist()
             ]
             return out[0] if single else out
-        idx = self.build_prediction_index()
         # bucket the scan depth (multiple of 4) so a deepening tree reuses
         # compiled beam programs
         max_depth = -(-max(self.max_depth, 1) // 4) * 4
-        _, leaf_nodes = index_mod.beam_search_topk(
-            idx, q, k, beam_width=beam_width, max_depth=max_depth
-        )
-        sids = index_mod.leaves_to_sentence_ids(idx, np.asarray(leaf_nodes), k)
+        sids = np.asarray(index_mod.beam_query_ids(
+            self._beam_index(), q, k, beam_width=beam_width,
+            max_depth=max_depth))
         out = [
             [i if return_ids else self.sentences[i] for i in row if i >= 0]
             for row in sids.tolist()

@@ -127,14 +127,15 @@ def main():
         rows.append(rl.leaf_rerank_model(B, args.rerank, D).report(ms, B))
 
         if not args.skip_beam:
-            depth = -(-max(db.forest.max_depth(), 1) // 4) * 4
-            sidx = db.forest.build_index()
-            from rag_cobweb_tpu.parallel.vforest import _vforest_beam
-            ms, _ = timed(lambda qq: _vforest_beam(
-                sidx, qq, args.k, args.beam_width, depth), q)
-            F = int(flat.children.shape[1])
-            # K lanes each run the full beam: model scales by lane count
-            m = rl.beam_model(B * args.lanes, depth, args.beam_width, F, D)
+            bmidx = db.forest.beam_index()
+            depth = -(-max(db.forest._beam_depth, 1) // 4) * 4
+            W = max(args.beam_width, args.lanes)
+            C = min(64 * max(1, -(-4 * W // 64)), W * 16)
+            ms, _ = timed(lambda qq: index_mod.beam_pack_topk(
+                bmidx, qq, args.k, beam_width=args.beam_width,
+                max_depth=depth, n_roots=args.lanes), q)
+            m = rl.beam_pack_model(
+                B, depth, C, D, pack_bytes=bmidx.pack.dtype.itemsize)
             rows.append(m.report(ms, B))
 
         for r in rows[-5:]:

@@ -117,14 +117,10 @@ def main():
                 return ids
 
             def cobweb_beam(qb, k):
-                _, leaves = index_mod.beam_search_topk(
-                    db._index, jnp.asarray(qb), k,
-                    beam_width=args.beam_width,
-                    max_depth=max(db.max_depth, 1),
-                )
-                return index_mod.leaves_to_sentence_ids(
-                    db._index, np.asarray(leaves), k
-                )
+                md = -(-max(db.max_depth, 1) // 4) * 4
+                return np.asarray(index_mod.beam_query_ids(
+                    db._beam_index(), jnp.asarray(qb), k,
+                    beam_width=args.beam_width, max_depth=md))
 
         evals = [
             ("cobweb_fast", cobweb_fast, q, gold),

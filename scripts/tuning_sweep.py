@@ -32,8 +32,9 @@ def main():
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--lanes", type=int, default=64)
     p.add_argument("--pools", type=str, default="0,64,128,256,512,1024,2048")
-    p.add_argument("--widths", type=str, default="8,16,32,64,128")
+    p.add_argument("--widths", type=str, default="2,4,8,16,32")
     p.add_argument("--skip-beam", action="store_true")
+    p.add_argument("--skip-pools", action="store_true")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -77,7 +78,8 @@ def main():
     out = {"corpus_size": args.corpus_size, "dim": int(cw.shape[1]),
            "exact_raw": exact_raw, "exact_whitened": exact_w,
            "pool_curve": [], "beam_curve": []}
-    for pool in [int(x) for x in args.pools.split(",")]:
+    for pool in ([] if args.skip_pools
+                 else [int(x) for x in args.pools.split(",")]):
         t0 = time.perf_counter()
         ids = db.query_ids(qw, args.k, rerank=pool)
         r = recall(ids)
@@ -90,13 +92,11 @@ def main():
 
     if not args.skip_beam:
         for w in [int(x) for x in args.widths.split(",")]:
+            # warm the compiled program for this width (beam_topk chunks
+            # internally) so the curve records steady-state latency
+            db.forest.beam_topk(qw, args.k, beam_width=w)
             t0 = time.perf_counter()
-            # chunk the query batch: every lane beams every query, so the
-            # (K*B*W*F, D) candidate gather OOMs HBM at B=1000/dim~450
-            chunks = [db.forest.beam_topk(qw[s0:s0 + 128], args.k,
-                                          beam_width=w)
-                      for s0 in range(0, len(qw), 128)]
-            ids = np.concatenate(chunks)
+            ids = db.forest.beam_topk(qw, args.k, beam_width=w)
             r = recall(ids)
             dt = (time.perf_counter() - t0) * 1e3 / len(qw)
             out["beam_curve"].append(

@@ -285,3 +285,48 @@ def test_device_struct_parity_with_host():
     for b in range(16):
         assert set(np.asarray(got)[b].tolist()) == \
             set(np.asarray(want)[b].tolist()), b
+
+
+def test_beam_pack_matches_oracle(built):
+    """Packed beam with an untruncated candidate budget (C = W*F) expands
+    EXACTLY the oracle's candidate set, so the retrievable-leaf ranking
+    must agree with beam_search_topk (f32 pack, HIGHEST precision)."""
+    tree, idx, xs, leaves = built
+    qs = jnp.asarray(xs[:6])
+    W, F = 16, idx.children.shape[1]
+    ls_o, ln_o = index_mod.beam_search_topk(idx, qs, k=5, beam_width=W,
+                                            max_depth=16)
+    bidx = index_mod.build_beam_index(idx, pack_dtype=jnp.float32)
+    ls_p, ln_p = index_mod.beam_pack_topk(bidx, qs, k=5, beam_width=W,
+                                          max_depth=16, cand_budget=W * F)
+    for b in range(6):
+        want = {int(n) for n, s in zip(np.asarray(ln_o)[b],
+                                       np.asarray(ls_o)[b]) if n >= 0}
+        got = {int(n) for n, s in zip(np.asarray(ln_p)[b],
+                                      np.asarray(ls_p)[b]) if n >= 0}
+        # the oracle emits leaf_cap = W*depth/2+k entries, the packed engine
+        # max(2W, k): compare the shared top-W prefix sets
+        want_top = {int(n) for n in np.asarray(ln_o)[b][:W] if n >= 0}
+        got_top = {int(n) for n in np.asarray(ln_p)[b][:W] if n >= 0}
+        assert want_top == got_top, (b, want_top, got_top)
+
+
+def test_beam_query_ids_finds_own_points(built):
+    tree, idx, xs, leaves = built
+    bidx = index_mod.build_beam_index(idx)
+    sids = np.asarray(index_mod.beam_query_ids(bidx, xs[:6], k=5,
+                                               beam_width=32, max_depth=16))
+    for b in range(6):
+        assert b in sids[b], f"packed beam missed own point for query {b}"
+
+
+def test_beam_pack_truncated_budget_still_finds_points(built):
+    """A tight candidate budget (C = 2W) must degrade gracefully, not
+    break: the best-parent runs are kept (truncation drops the tail)."""
+    tree, idx, xs, leaves = built
+    bidx = index_mod.build_beam_index(idx)
+    sids = np.asarray(index_mod.beam_query_ids(bidx, xs[:6], k=5,
+                                               beam_width=8, max_depth=16,
+                                               cand_budget=16))
+    hits = np.mean([b in sids[b] for b in range(6)])
+    assert hits >= 0.5, f"truncated-budget beam collapsed: {hits}"
