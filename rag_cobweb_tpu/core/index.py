@@ -1269,7 +1269,8 @@ def beam_query_ids(bidx: BeamIndex, queries, k: int, beam_width: int = 32,
     "k", "lane_width", "max_depth", "cand_budget", "n_lanes"))
 def beam_pack_topk_lanes(bidx: BeamIndex, queries: jnp.ndarray, k: int,
                          lane_width: int = 16, max_depth: int = 16,
-                         cand_budget: int = 0, n_lanes: int = 1):
+                         cand_budget: int = 0, n_lanes: int = 1,
+                         roots: Optional[jnp.ndarray] = None):
     """LANE-FAIR packed beam over a flat multi-root forest index.
 
     The global beam (``beam_pack_topk``) prunes whole lanes on internal-
@@ -1285,6 +1286,12 @@ def beam_pack_topk_lanes(bidx: BeamIndex, queries: jnp.ndarray, k: int,
     l's segment starts at its root (compact row l).  Candidate packing,
     scoring, and top-k run on the folded (B * n_lanes, ...) rows.
     Returns (leaf_scores (B, M), leaf_nodes (B, M)) merged across lanes.
+
+    ``roots``: optional (B, n_lanes) PER-QUERY root set (compact lane-root
+    rows; -1 = unused slot) — the content-routed forest's lane selection:
+    each query descends only its L nearest lanes, cutting the per-level
+    gather bill by K/L while the selected lanes keep full-width beams.
+    ``None`` = every lane (rows [0, n_lanes)), the lane-fair default.
     """
     B = queries.shape[0]
     K, Wl = n_lanes, lane_width
@@ -1311,11 +1318,15 @@ def beam_pack_topk_lanes(bidx: BeamIndex, queries: jnp.ndarray, k: int,
         return s + bidx.const[cand]
 
     # init: lane l's beam = [root_l, -1, ...] — roots are compact rows [0, K)
-    roots = jnp.arange(K, dtype=jnp.int32)
+    if roots is None:
+        roots_f = jnp.tile(jnp.arange(K, dtype=jnp.int32), B)   # (B*K,)
+    else:
+        roots_f = roots.astype(jnp.int32).reshape(B * K)
     nodes0 = jnp.full((B * K, Wl), -1, jnp.int32)
-    nodes0 = nodes0.at[:, 0].set(jnp.tile(roots, B))
+    nodes0 = nodes0.at[:, 0].set(roots_f)
     root_rows = bidx.pack[nodes0[:, :1].clip(0)]          # (B*K, 1, 2D)
-    root_s = score_rows(root_rows, nodes0[:, :1])
+    root_s = jnp.where(nodes0[:, :1] >= 0,
+                       score_rows(root_rows, nodes0[:, :1]), NEG)
     scores0 = jnp.concatenate(
         [root_s, jnp.full((B * K, Wl - 1), NEG)], axis=1)
 

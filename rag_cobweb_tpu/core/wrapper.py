@@ -40,12 +40,17 @@ class CobwebIndex:
                  encode_func: Callable = _identity_encode,
                  config: Optional[TreeConfig] = None,
                  capacity: Optional[int] = None, seed: int = 0,
-                 n_subtrees: int = 1):
+                 n_subtrees: int = 1, routing: str = "round_robin"):
         """``n_subtrees > 1`` selects forest mode: K independent subtrees on
         one device with round-robin inserts running K-wide under ``vmap``
         (parallel/vforest.py) — ~K× insert throughput; queries merge
         across lanes by leaf log-probability.  Tree-shape introspection
-        (dump_json / print_tree / visualize) stays single-tree only."""
+        (dump_json / print_tree / visualize) stays single-tree only.
+
+        ``routing="content"`` (forest mode) shards lanes by embedding
+        content (nearest lane centroid, load-balanced): beam queries then
+        descend only each query's few nearest lanes instead of all K —
+        see parallel/vforest.VForest."""
         self.encode_func = encode_func
         self.sentences: list = []
         self.leaf_of_sentence: list[int] = []
@@ -75,7 +80,7 @@ class CobwebIndex:
             self.forest = VForest(
                 self.cfg, n_subtrees=self.n_subtrees,
                 capacity_per_tree=max(1024, cap // self.n_subtrees),
-                seed=seed,
+                seed=seed, routing=routing,
             )
         else:
             self.forest = None
@@ -423,6 +428,30 @@ class CobwebIndex:
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
 
+    def _small_forest_topk(self, q, kk: int, rerank: Optional[int]):
+        """Forest below ``blocked_threshold``: per-lane merged leaf-lp query
+        with the same exact stored-embedding re-rank as the flat engines.
+        Leaf log-prob cannot order same-leaf near-duplicates (identical
+        lp), so without the polish k=1 self-retrieval loses ~10% on
+        clustered data; the pool must also COVER the largest same-score
+        leaf (content-routed forests concentrate whole near-dup groups in
+        one leaf), so auto uses the full ``rerank_candidates`` pool — at
+        small-corpus scale the exact re-rank gather is ~free.  ``rerank``:
+        pool size; None = auto (only when the vector store exists); 0 =
+        raw leaf-lp order."""
+        fidx = self.forest.build_index()
+        from rag_cobweb_tpu.parallel.vforest import _vforest_query
+        pool = rerank
+        if pool is None:
+            pool = (min(max(4 * kk, self.rerank_candidates),
+                        len(self.sentences))
+                    if self._emb_device() is not None else 0)
+        if pool and self._emb_device() is not None:
+            cs, cand = _vforest_query(fidx, q, min(max(pool, kk),
+                                                   len(self.sentences)))
+            return self._rerank_step(fidx, q, cand, cs, kk)
+        return _vforest_query(fidx, q, kk)
+
     def query_ids(self, queries, k: int, rerank: Optional[int] = None):
         """Batched serving API: (B, D) embeddings -> (B, k) sentence-id
         DEVICE array, routed through the same engine dispatch as
@@ -431,16 +460,14 @@ class CobwebIndex:
         sync per batch."""
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         kk = min(k, len(self.sentences))
-        if rerank is None:
-            rerank = (self.rerank_candidates
-                      if len(self.sentences) >= self.rerank_threshold else 0)
         if self._pending_sids:
             self._flush_pending()   # serving API always serves exact
         if (self.forest is not None
                 and len(self.sentences) < self.blocked_threshold):
-            fidx = self.forest.build_index()
-            from rag_cobweb_tpu.parallel.vforest import _vforest_query
-            return _vforest_query(fidx, q, kk)[1]
+            return self._small_forest_topk(q, kk, rerank)[1]
+        if rerank is None:
+            rerank = (self.rerank_candidates
+                      if len(self.sentences) >= self.rerank_threshold else 0)
         return self._engine_topk(q, kk, rerank, tie_noise=False)[1]
 
     def predict_fast(self, input, k=5, return_ids=False, is_embedding=False,
@@ -459,10 +486,10 @@ class CobwebIndex:
         kk = min(k, len(self.sentences))
         if (self.forest is not None
                 and len(self.sentences) < self.blocked_threshold):
-            # small forest: per-lane merged query (no flat index needed)
+            # small forest: per-lane merged query + exact re-rank polish
             if self._pending_sids:
                 self._flush_pending()
-            _, top_ids = self.forest.query_topk(np.asarray(q), kk)
+            top_ids = np.asarray(self._small_forest_topk(q, kk, rerank)[1])
             out = [
                 [i if return_ids else self.sentences[i] for i in row if i >= 0]
                 for row in np.asarray(top_ids).tolist()
@@ -524,14 +551,17 @@ class CobwebIndex:
     cobweb_predict_indexed = predict_fast
 
     def predict(self, input, k=5, return_ids=False, is_embedding=False,
-                beam_width: int = 64):
+                beam_width: int = 64, beam_lanes: Optional[int] = None):
         """Tree-search prediction (reference cobweb_predict :435-461) as a
-        batched beam search down the concept hierarchy."""
+        batched beam search down the concept hierarchy.  ``beam_lanes``:
+        content-routed forests descend only that many nearest lanes per
+        query (None = auto; ignored in single-tree mode)."""
         self._flush_pending()   # beam needs the exact index
         q, single = self._as_query_batch(input, is_embedding)
         if self.forest is not None:
             sids = self.forest.beam_topk(np.asarray(q), k,
-                                         beam_width=beam_width)
+                                         beam_width=beam_width,
+                                         lanes_per_query=beam_lanes)
             out = [
                 [i if return_ids else self.sentences[i] for i in row if i >= 0]
                 for row in sids.tolist()

@@ -133,6 +133,15 @@ def vinsert_masked_round(st, xs: jnp.ndarray, keys: jax.Array,
 _DEEP_STEPS = 48  # retry-wave scan budget (matches the exact path's cap)
 
 
+@jax.jit
+def _centroid_scores(q: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """(B, D) queries x (K, D) lane centroids -> (B, K) proximity scores
+    (negative half squared L2, up to the per-query constant): the router's
+    nearest-centroid rule and the beam's lane-selection rule share this."""
+    return (jnp.matmul(q, c.T, precision=jax.lax.Precision.HIGHEST)
+            - 0.5 * jnp.sum(jnp.square(c), axis=1)[None, :])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _insert_one_lane(st, lane, x, key, cfg: TreeConfig):
     """Exact-path insert of one instance into one lane of the stacked
@@ -284,9 +293,33 @@ class VForest:
     """K-subtree forest on one device (same API surface as CobwebForest)."""
 
     def __init__(self, cfg: TreeConfig, n_subtrees: int = 16,
-                 capacity_per_tree: int = 4096, seed: int = 0):
+                 capacity_per_tree: int = 4096, seed: int = 0,
+                 routing: str = "round_robin"):
+        """``routing``:
+
+        * ``"round_robin"`` (default, the reference-parity layout): lane =
+          global id % K — every lane is a uniform random subsample, so
+          cross-lane query merges must visit EVERY lane (internal-node
+          scores cannot arbitrate between statistically identical lanes).
+        * ``"content"``: lane = nearest lane centroid (power-of-two-choices
+          balanced).  Lanes specialize to regions of embedding space, so
+          beam queries descend only the L nearest lanes
+          (``beam_topk(lanes_per_query=L)``) — the per-level gather bill
+          drops K/L x.  Centroids initialize by a short k-means on the
+          first batch and track their lane's running mean thereafter.
+          This is the content-sharded layout a multi-chip mesh forest
+          routes by as well (queries fan out to few shards, not all).
+        """
+        if routing not in ("round_robin", "content"):
+            raise ValueError(f"unknown routing {routing!r}")
         self.cfg = cfg
         self.K = n_subtrees
+        self.routing = routing
+        self._centroids: Optional[np.ndarray] = None   # (K, D) host f32
+        self._centroids_dev = None                     # device copy cache
+        self._route_count = np.zeros(n_subtrees, np.int64)
+        self._lane_total = np.zeros(n_subtrees, np.int64)
+        self._route_rng = np.random.default_rng(seed ^ 0x5EED)
         states = [tree_mod.init_state(capacity_per_tree, cfg.dim,
                                       cfg.max_fanout)
                   for _ in range(n_subtrees)]
@@ -440,21 +473,143 @@ class VForest:
             free_stack=grow(st.free_stack, -1),
         )
 
+    # ------------------------------------------------------------------ #
+    # content routing                                                    #
+    # ------------------------------------------------------------------ #
+    def _lane_scores(self, x: np.ndarray,
+                     centroids: Optional[np.ndarray] = None) -> np.ndarray:
+        """(B, K) centroid-proximity scores on device (bucketed B so ragged
+        batches reuse one compiled program).  ``centroids`` overrides the
+        router state (used for the root-mean fallback)."""
+        x = np.asarray(x, np.float32)
+        B = len(x)
+        Bb = max(256, 1 << (B - 1).bit_length()) if B > 1 else 256
+        xp = np.zeros((Bb, x.shape[1]), np.float32)
+        xp[:B] = x
+        if centroids is not None:
+            c_dev = jnp.asarray(centroids)
+        else:
+            if self._centroids_dev is None:
+                self._centroids_dev = jnp.asarray(self._centroids)
+            c_dev = self._centroids_dev
+        s = _centroid_scores(jnp.asarray(xp), c_dev)
+        return np.asarray(s)[:B]
+
+    def _init_centroids(self, x: np.ndarray):
+        """Short k-means over the first routed batch (k-means needs no
+        labels; 3 Lloyd iterations suffice for routing-grade centroids)."""
+        K, rng = self.K, self._route_rng
+        B = len(x)
+        if B >= K:
+            idx = rng.choice(B, K, replace=False)
+            c = np.array(x[idx], np.float32)
+        else:
+            idx = rng.choice(B, K, replace=True)
+            c = np.array(x[idx], np.float32)
+            c += 1e-3 * rng.standard_normal(c.shape).astype(np.float32)
+        self._centroids = c
+        self._centroids_dev = None
+        for _ in range(3):
+            assign = np.argmax(self._lane_scores(x), axis=1)
+            sums = np.zeros_like(c)
+            cnt = np.zeros(K, np.int64)
+            np.add.at(sums, assign, x)
+            np.add.at(cnt, assign, 1)
+            upd = cnt > 0
+            c[upd] = sums[upd] / cnt[upd, None]
+            self._centroids = c
+            self._centroids_dev = None
+
+    def _route_lanes(self, x: np.ndarray) -> np.ndarray:
+        """Nearest-centroid lane assignment with power-of-two-choices
+        balancing: each row goes to the nearer of its two closest
+        centroids' lanes unless that lane is ``slack`` ahead, and a hard
+        cumulative cap (1.3x mean + margin) bounds worst-case skew (skewed
+        batches would otherwise blow per-lane capacity and the per-round
+        insert packing).  Centroids track their lane's running mean."""
+        K = self.K
+        B = len(x)
+        if self._centroids is None:
+            self._init_centroids(x)
+        s = self._lane_scores(x)
+        if K == 1:
+            return np.zeros(B, np.int32)
+        rows = np.arange(B)
+        top2 = np.argpartition(-s, 1, axis=1)[:, :2]
+        swap = s[rows, top2[:, 0]] < s[rows, top2[:, 1]]
+        top2[swap] = top2[swap][:, ::-1]
+        load = self._lane_total.copy()
+        total_after = int(load.sum()) + B
+        cap = int(1.3 * total_after / K) + 16
+        slack = max(1, B // (4 * K))
+        lane_of = np.empty(B, np.int32)
+        for i in range(B):
+            c1, c2 = top2[i]
+            lane = c1 if load[c1] <= load[c2] + slack else c2
+            if load[lane] >= cap:
+                lane = int(np.argmin(load))
+            lane_of[i] = lane
+            load[lane] += 1
+        self._lane_total = load
+        # running-mean centroid update (exact mean of all routed rows)
+        sums = np.zeros_like(self._centroids)
+        cnt = np.zeros(K, np.int64)
+        np.add.at(sums, lane_of, x)
+        np.add.at(cnt, lane_of, 1)
+        tot = self._route_count + cnt
+        upd = cnt > 0
+        self._centroids[upd] += (
+            sums[upd] - cnt[upd, None] * self._centroids[upd]
+        ) / tot[upd, None]
+        self._route_count = tot
+        self._centroids_dev = None
+        return lane_of
+
+    def select_lanes(self, queries: np.ndarray, n_lanes: int) -> np.ndarray:
+        """Per-query top-``n_lanes`` lanes by centroid proximity (B, L).
+
+        Forests without router state (round-robin, or loaded checkpoints
+        predating routing) fall back to each lane's ROOT mean — the lane's
+        exact running mean — as its centroid; for round-robin lanes these
+        are statistically identical, so an explicit lane cut there trades
+        recall for latency knowingly rather than crashing."""
+        L = min(n_lanes, self.K)
+        cent = None
+        if self._centroids is None:
+            cent = np.asarray(jax.device_get(
+                self.state.means[jnp.arange(self.K), self.state.root]
+            ), np.float32)
+        s = self._lane_scores(np.atleast_2d(queries), centroids=cent)
+        if L >= self.K:
+            return np.broadcast_to(
+                np.arange(self.K, dtype=np.int32), (len(s), self.K)).copy()
+        return np.argpartition(-s, L - 1, axis=1)[:, :L].astype(np.int32)
+
     def add(self, embeddings: np.ndarray) -> np.ndarray:
-        """Round-robin insert; one vmapped round inserts K instances."""
+        """Batched insert; one vmapped round inserts up to K instances
+        (one per lane).  Lane assignment: round-robin (default) or
+        content routing (``routing="content"``)."""
         embeddings = np.asarray(embeddings, np.float32)
         B = len(embeddings)
         K = self.K
         gids = np.arange(self.n_sentences, self.n_sentences + B)
-        lane_of = gids % K
+        if self.routing == "content":
+            lane_of = self._route_lanes(embeddings)
+        else:
+            lane_of = gids % K
 
-        # arrange per-lane streams; lanes may differ by at most 1 round
+        # arrange per-lane streams; round-robin lanes differ by at most 1
+        # round, content-routed lanes by the (slack-bounded) batch skew
         per_lane = [embeddings[lane_of == s] for s in range(K)]
-        R_full = min(len(p) for p in per_lane)
-        self._ensure_capacity(R_full + 1)
+        lens = np.asarray([len(p) for p in per_lane])
+        R_full = int(lens.min(initial=0))
+        R_max = int(lens.max(initial=0))
+        R_tail = R_max - R_full
+        self._ensure_capacity(R_max + 1)
         self._key, sub = jax.random.split(self._key)
-        all_keys = jax.random.split(sub, K * (R_full + 1)).reshape(
-            K, R_full + 1, -1
+        n_keys = R_full + max(R_tail, 1)
+        all_keys = jax.random.split(sub, K * n_keys).reshape(
+            K, n_keys, -1
         )
 
         def retry(leaves, xs_kr, keys_kr, valid):
@@ -529,8 +684,8 @@ class VForest:
                   np.ones_like(leaves, bool))
             for s in range(K):
                 leaves_by_lane[s].extend(int(l) for l in leaves[s])
-        rem_mask = np.asarray([len(p) > R_full for p in per_lane])
-        if rem_mask.any():
+        if R_tail == 1:
+            rem_mask = np.asarray([len(p) > R_full for p in per_lane])
             xs = np.stack([
                 p[R_full] if len(p) > R_full else np.zeros(
                     self.cfg.dim, np.float32)
@@ -549,6 +704,40 @@ class VForest:
             for s in range(K):
                 if rem_mask[s]:
                     leaves_by_lane[s].append(int(leaf[s]))
+        elif R_tail > 1:
+            # content-routed skew tail: pack every lane's leftover stream
+            # into ONE bucketed masked multi-round call at the deep budget
+            # (same programs as the retry waves, already warmed)
+            R2b = max(4, 1 << (R_tail - 1).bit_length())
+            D = self.cfg.dim
+            keys_np = np.asarray(all_keys[:, R_full:R_full + R_tail])
+            xs_t = np.zeros((K, R2b, D), np.float32)
+            keys_t = np.zeros((K, R2b, keys_np.shape[2]), keys_np.dtype)
+            mask_t = np.zeros((K, R2b), bool)
+            keys_t[:, :R_tail] = keys_np
+            for s in range(K):
+                t = per_lane[s][R_full:]
+                if len(t):
+                    xs_t[s, :len(t)] = t
+                    mask_t[s, :len(t)] = True
+            self.state, leaf_t = vinsert_rounds_masked(
+                self.state, jnp.asarray(xs_t), jnp.asarray(keys_t),
+                jnp.asarray(mask_t), self.cfg, max_steps=_DEEP_STEPS,
+            )
+            leaf_t = np.array(leaf_t)
+            self._alloc_hi += 2 * R_tail
+            for s, c in np.argwhere(mask_t & (leaf_t < 0)):
+                self.state, lf = _insert_one_lane(
+                    self.state, jnp.asarray(int(s), jnp.int32),
+                    jnp.asarray(xs_t[s, c]), jnp.asarray(keys_t[s, c]),
+                    self.cfg,
+                )
+                leaf_t[s, c] = int(lf)
+            for s in range(K):
+                n_t = len(per_lane[s]) - R_full
+                if n_t > 0:
+                    leaves_by_lane[s].extend(
+                        int(l) for l in leaf_t[s, :n_t])
 
         next_round = [0] * K
         for g, s in zip(gids, lane_of):
@@ -624,7 +813,8 @@ class VForest:
 
     def beam_topk(self, queries: np.ndarray, k: int, beam_width: int = 16,
                   max_depth: Optional[int] = None,
-                  lane_fair: bool = True) -> np.ndarray:
+                  lane_fair: bool = True,
+                  lanes_per_query: Optional[int] = None) -> np.ndarray:
         """Cross-lane beam retrieval -> (B, k) global sentence ids.
 
         ONE packed beam over the flat multi-root index (lane roots are
@@ -640,7 +830,13 @@ class VForest:
         ``max_depth=None`` (default) scans to the forest's ACTUAL depth —
         clamping to a fixed default would make leaves below the clamp
         silently unretrievable once trees grow deep.  Pass an explicit
-        ``max_depth`` only to trade recall for latency."""
+        ``max_depth`` only to trade recall for latency.
+
+        ``lanes_per_query``: content-routed forests descend only each
+        query's L nearest lanes (by centroid proximity) — K/L x cheaper
+        per level at matched per-lane width.  ``None`` = auto: 8 when
+        ``routing="content"``, every lane otherwise (round-robin lanes are
+        statistically identical, so skipping any loses recall)."""
         bidx = self.beam_index()
         # round the scan depth up to a multiple of 4 so a deepening forest
         # reuses a handful of compiled beam programs instead of one per depth
@@ -649,13 +845,20 @@ class VForest:
             md = min(max_depth, md)
         qh = np.atleast_2d(np.asarray(queries, np.float32))
         B = qh.shape[0]
+        if lanes_per_query is None:
+            lanes_per_query = min(self.K, 8) \
+                if self.routing == "content" else self.K
+        L = min(lanes_per_query, self.K)
+        sel = None
+        if lane_fair and L < self.K:
+            sel = self.select_lanes(qh, L)             # (B, L) lane ids
         # memory-bounded query chunk: XLA materializes the per-level
-        # (chunk*K, C, 2D) gathered candidate rows before the dot — cap
+        # (chunk*L, C, 2D) gathered candidate rows before the dot — cap
         # that buffer at ~1 GB and pad the ragged tail so every chunk
         # reuses ONE compiled program
         Wl = beam_width
         C = min(16 * max(1, -(-4 * Wl // 16)), Wl * 16)
-        bytes_per_q = ((self.K * C) if lane_fair else C) \
+        bytes_per_q = ((L * C) if lane_fair else C) \
             * bidx.pack.shape[1] * bidx.pack.dtype.itemsize
         chunk = int(1 << 30) // max(bytes_per_q, 1)
         chunk = max(64, (chunk // 64) * 64)   # 64-quantized: chunk shape
@@ -669,9 +872,17 @@ class VForest:
                     [qc, np.zeros((chunk - n, qc.shape[1]), np.float32)])
             q = jnp.asarray(qc)
             if lane_fair:
+                roots = None
+                if sel is not None:
+                    rc = sel[s0:s0 + chunk]
+                    if rc.shape[0] < chunk:
+                        rc = np.concatenate([
+                            rc, np.full((chunk - rc.shape[0], L), -1,
+                                        np.int32)])
+                    roots = jnp.asarray(rc)
                 scores, leaves = index_mod.beam_pack_topk_lanes(
                     bidx, q, k, lane_width=Wl, max_depth=md,
-                    n_lanes=self.K)
+                    n_lanes=L, roots=roots)
             else:
                 scores, leaves = index_mod.beam_pack_topk(
                     bidx, q, k, beam_width=Wl, max_depth=md,
@@ -706,6 +917,13 @@ class VForest:
                            -1, np.int64)
         for s, lst in enumerate(self._leaf_of_local):
             leaf_mat[s, :len(lst)] = lst
+        routing_arrays = {"__routing__": np.asarray(self.routing)}
+        if self._centroids is not None:
+            routing_arrays.update(
+                __centroids__=self._centroids,
+                __route_count__=self._route_count,
+                __lane_total__=self._lane_total,
+            )
         np.savez_compressed(
             path,
             __forest__=np.asarray(self.K),
@@ -718,6 +936,7 @@ class VForest:
             local_sid=np.asarray(self.local_sid, np.int64),
             leaf_of_local=leaf_mat,
             n_local=n_local,
+            **routing_arrays,
             **{f"st_{k}": v for k, v in st._asdict().items()},
             **extra_arrays,
         )
@@ -736,9 +955,19 @@ class VForest:
                 k: jnp.asarray(data[f"st_{k}"])
                 for k in tree_mod.TreeState._fields
             })
+            routing = (str(data["__routing__"])
+                       if "__routing__" in data.files else "round_robin")
             vf = cls(cfg, n_subtrees=K,
-                     capacity_per_tree=st.counts.shape[1])
+                     capacity_per_tree=st.counts.shape[1],
+                     routing=routing)
             vf.state = st
+            if "__centroids__" in data.files:
+                vf._centroids = np.asarray(data["__centroids__"],
+                                           np.float32)
+                vf._route_count = np.asarray(data["__route_count__"],
+                                             np.int64)
+                vf._lane_total = np.asarray(data["__lane_total__"],
+                                            np.int64)
             vf._alloc_hi = int(np.asarray(data["st_n_alloc"]).max())
             vf._key = jnp.asarray(data["__key__"])
             vf.n_sentences = int(data["n_sentences"])
@@ -753,6 +982,8 @@ class VForest:
             known = {f"st_{k}" for k in tree_mod.TreeState._fields} | {
                 "__forest__", "__cfg__", "__key__", "n_sentences",
                 "shard_of", "local_sid", "leaf_of_local", "n_local",
+                "__routing__", "__centroids__", "__route_count__",
+                "__lane_total__",
             }
             extras = {k: data[k] for k in data.files if k not in known}
         return vf, extras

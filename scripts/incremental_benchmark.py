@@ -44,12 +44,16 @@ def main():
                                   pca_dim=args.pca_dim, ica_max_iter=300)
     corpus_w = wh.transform(data.corpus_embs)
 
+    lanes = max(1, args.vforest)
     db = CobwebIndex(corpus=None, corpus_embeddings=None,
                      config=TreeConfig(dim=corpus_w.shape[1]),
-                     capacity=4 * total + 16)
+                     capacity=4 * total + 16,
+                     n_subtrees=lanes)
+    if lanes > 1:
+        db.forest.warmup_insert_programs(args.size)
     t0 = time.perf_counter()
-    for s in range(0, args.size, 4096):
-        n = min(4096, args.size - s)
+    for s in range(0, args.size, 8192):
+        n = min(8192, args.size - s)
         db.add_sentences([None] * n, corpus_w[s:s + n])
     build_s = time.perf_counter() - t0
 
@@ -80,6 +84,26 @@ def main():
     hit = np.mean([args.size + i in row
                    for i, row in enumerate(got[:len(new_w)])])
 
+    # --- the overflow cliff (VERDICT r2 #9): push pending past
+    # stale_pending_limit so the next query pays the index refresh, and
+    # time THAT — the number that must stay ~seconds at 1M ---------------
+    n_over = db.stale_pending_limit - len(db._pending_sids) + 1
+    over_s = cliff_q_s = cliff_warm_s = -1.0
+    if n_over > 0 and args.size >= n_over:
+        over_w = corpus_w[:n_over] + np.float32(0.02)   # reuse rows as adds
+        t0 = time.perf_counter()
+        db.add_sentences([None] * n_over, over_w)
+        over_s = time.perf_counter() - t0
+        overflowed = not db._pending_sids   # limit hit -> invalidated
+        t0 = time.perf_counter()
+        db.predict_fast(q, k=args.k, is_embedding=True)
+        cliff_q_s = time.perf_counter() - t0            # pays the rebuild
+        t0 = time.perf_counter()
+        db.predict_fast(q, k=args.k, is_embedding=True)
+        cliff_warm_s = time.perf_counter() - t0
+    else:
+        overflowed = False
+
     print(json.dumps({
         "size": args.size, "added": args.add,
         "build_s": round(build_s, 1),
@@ -90,6 +114,11 @@ def main():
         "add_then_query_s": round(fresh_q, 3),
         "add_then_query_warm_s": round(fresh_q_warm, 3),
         "new_sentence_self_hit@10": round(float(hit), 4),
+        "overflow_adds": int(max(n_over, 0)),
+        "overflow_invalidated": overflowed,
+        "overflow_add_s": round(over_s, 2),
+        "overflow_rebuild_query_s": round(cliff_q_s, 2),
+        "overflow_warm_query_s": round(cliff_warm_s, 3),
     }))
 
 

@@ -80,15 +80,17 @@ def main():
            "pool_curve": [], "beam_curve": []}
     for pool in ([] if args.skip_pools
                  else [int(x) for x in args.pools.split(",")]):
+        import jax
+        jax.block_until_ready(db.query_ids(qw, args.k, rerank=pool))
         t0 = time.perf_counter()
         ids = db.query_ids(qw, args.k, rerank=pool)
-        r = recall(ids)
+        jax.block_until_ready(ids)
         dt = (time.perf_counter() - t0) * 1e3 / len(qw)
+        r = recall(ids)
         out["pool_curve"].append(
             {"pool": pool, "recall": round(r, 4),
              "ms_per_query": round(dt, 4)})
-        log(f"[sweep] pool={pool}: recall {r:.4f} ({dt:.3f} ms/q incl. "
-            "first-call compile)")
+        log(f"[sweep] pool={pool}: recall {r:.4f} ({dt:.3f} ms/q warm)")
 
     if not args.skip_beam:
         for w in [int(x) for x in args.widths.split(",")]:
