@@ -102,13 +102,16 @@ def vinsert_rounds(st, xs: jnp.ndarray, keys: jax.Array, cfg: TreeConfig,
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
 def vinsert_rounds_masked(st, xs: jnp.ndarray, keys: jax.Array,
                           mask: jnp.ndarray, cfg: TreeConfig,
-                          max_steps: int = _MAX_STEPS):
+                          n_rounds=None, max_steps: int = _MAX_STEPS):
     """Per-round-masked variant of ``vinsert_rounds`` (mask: (K, R) bool).
-    One jit call runs ALL retry rounds for a packed pending set — at scale
-    15-25%% of descents exceed the primary scan budget, and dispatching a
-    masked round per wave from the host paid a ~60 ms relay round-trip
-    each."""
+    One jit call runs ALL rounds for a packed (possibly ragged) stream set
+    — at scale 15-25%% of descents exceed the primary scan budget, and
+    dispatching a masked round per wave from the host paid a ~60 ms relay
+    round-trip each.  ``n_rounds`` may be a traced scalar so callers can
+    pad R to a bucketed shape without paying for the empty rounds."""
     K, R, D = xs.shape
+    if n_rounds is None:
+        n_rounds = R
 
     def body(r, carry):
         st, leaves = carry
@@ -117,7 +120,8 @@ def vinsert_rounds_masked(st, xs: jnp.ndarray, keys: jax.Array,
         return st, leaves.at[:, r].set(leaf)
 
     leaves0 = jnp.full((K, R), -1, jnp.int32)
-    return jax.lax.fori_loop(0, R, body, (st, leaves0))
+    return jax.lax.fori_loop(0, jnp.minimum(n_rounds, R), body,
+                             (st, leaves0))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
@@ -378,7 +382,7 @@ class VForest:
 
         K = self.K
         D = self.cfg.dim
-        R_full = n_total // K
+        R_full = -(-n_total // K)   # ceil: add() buckets by the MAX lane
         Rb = max(8, 1 << (R_full - 1).bit_length()) if R_full else 8
         # grow NOW so the real add sees the same (already-grown) shapes
         self._ensure_capacity(R_full + 1)
@@ -387,17 +391,11 @@ class VForest:
             K, Rb, -1)
         zeros = jnp.zeros((K, Rb, D), jnp.float32)
         for budget in {self._budget, *budgets}:
-            st2, _ = vinsert_rounds(throw, zeros, keys, self.cfg,
-                                    jnp.asarray(1, jnp.int32),
-                                    max_steps=budget)
+            st2, _ = vinsert_rounds_masked(
+                throw, zeros, keys, jnp.zeros((K, Rb), bool), self.cfg,
+                n_rounds=jnp.asarray(1, jnp.int32), max_steps=budget)
             jax.block_until_ready(st2.counts)
-            _log(f"rounds Rb={Rb} budget={budget}")
-            # ragged remainder round (mask all-off: compile, no mutation)
-            st3, _ = vinsert_masked_round(
-                throw, zeros[:, 0], keys[:, 0],
-                jnp.zeros((K,), bool), self.cfg, max_steps=budget)
-            jax.block_until_ready(st3.counts)
-            _log(f"masked-round budget={budget}")
+            _log(f"masked rounds Rb={Rb} budget={budget}")
         # deep retry waves: bucketed pending shapes, all-off masks
         for R2b in (4, 8, 16, 32):
             if R2b > Rb:
@@ -405,6 +403,7 @@ class VForest:
             st4, _ = vinsert_rounds_masked(
                 throw, zeros[:, :R2b], keys[:, :R2b],
                 jnp.zeros((K, R2b), bool), self.cfg,
+                n_rounds=jnp.asarray(1, jnp.int32),
                 max_steps=_DEEP_STEPS)
             jax.block_until_ready(st4.counts)
             _log(f"retry wave R2b={R2b}")
@@ -520,13 +519,26 @@ class VForest:
             self._centroids = c
             self._centroids_dev = None
 
+    @staticmethod
+    def _cumcount(g: np.ndarray, K: int) -> np.ndarray:
+        """Rank of each element among earlier elements with the same value
+        (vectorized groupby-cumcount)."""
+        o = np.argsort(g, kind="stable")
+        gs = g[o]
+        starts = np.searchsorted(gs, np.arange(K))
+        out = np.empty(len(g), np.int64)
+        out[o] = np.arange(len(g)) - starts[gs]
+        return out
+
     def _route_lanes(self, x: np.ndarray) -> np.ndarray:
-        """Nearest-centroid lane assignment with power-of-two-choices
-        balancing: each row goes to the nearer of its two closest
-        centroids' lanes unless that lane is ``slack`` ahead, and a hard
-        cumulative cap (1.3x mean + margin) bounds worst-case skew (skewed
-        batches would otherwise blow per-lane capacity and the per-round
-        insert packing).  Centroids track their lane's running mean."""
+        """Nearest-centroid lane assignment under a hard per-lane cap
+        (1.3x mean + margin — skewed batches would otherwise blow per-lane
+        capacity and the per-round insert packing), fully vectorized (a
+        per-row host loop here cost 13.7 s at B=10k — more than the whole
+        device insert).  Three passes: margin-confident rows claim their
+        nearest lane first; spilled rows try their second-nearest; the
+        remainder deals round-robin into the least-loaded lanes.
+        Centroids track their lane's running mean."""
         K = self.K
         B = len(x)
         if self._centroids is None:
@@ -541,15 +553,35 @@ class VForest:
         load = self._lane_total.copy()
         total_after = int(load.sum()) + B
         cap = int(1.3 * total_after / K) + 16
-        slack = max(1, B // (4 * K))
-        lane_of = np.empty(B, np.int32)
-        for i in range(B):
-            c1, c2 = top2[i]
-            lane = c1 if load[c1] <= load[c2] + slack else c2
-            if load[lane] >= cap:
-                lane = int(np.argmin(load))
-            lane_of[i] = lane
-            load[lane] += 1
+        room = np.maximum(cap - load, 0)
+
+        lane_of = np.full(B, -1, np.int32)
+        # pass 1: rows with the most to lose (largest 1st-vs-2nd margin)
+        # claim their nearest lane first
+        margin = s[rows, top2[:, 0]] - s[rows, top2[:, 1]]
+        ordr = np.argsort(-margin, kind="stable")
+        lane1 = top2[ordr, 0]
+        take1 = self._cumcount(lane1, K) < room[lane1]
+        lane_of[ordr[take1]] = lane1[take1]
+        room = room - np.bincount(lane1[take1], minlength=K)
+        # pass 2: spilled rows try their second-nearest lane
+        rem = ordr[~take1]
+        if rem.size:
+            lane2 = top2[rem, 1]
+            take2 = self._cumcount(lane2, K) < room[lane2]
+            lane_of[rem[take2]] = lane2[take2]
+            room = room - np.bincount(lane2[take2], minlength=K)
+            rem = rem[~take2]
+        # pass 3: deal the remainder into the lanes with the most room
+        if rem.size:
+            lane_order = np.argsort(-room)
+            slots = np.repeat(lane_order, np.maximum(room, 0)[lane_order])
+            if slots.size < rem.size:   # cap too tight: cycle all lanes
+                slots = np.concatenate([
+                    slots, np.tile(np.argsort(load),
+                                   -(-(rem.size - slots.size) // K))])
+            lane_of[rem] = slots[:rem.size]
+        load += np.bincount(lane_of, minlength=K)
         self._lane_total = load
         # running-mean centroid update (exact mean of all routed rows)
         sums = np.zeros_like(self._centroids)
@@ -588,7 +620,19 @@ class VForest:
     def add(self, embeddings: np.ndarray) -> np.ndarray:
         """Batched insert; one vmapped round inserts up to K instances
         (one per lane).  Lane assignment: round-robin (default) or
-        content routing (``routing="content"``)."""
+        content routing (``routing="content"``).  Phase wall-times of the
+        last call land in ``self.last_add_phases`` (diagnostic)."""
+        import time as _time
+        _ph = self.last_add_phases = {}
+        _t0 = _time.perf_counter()
+
+        def _mark(name):
+            nonlocal _t0
+            jax.block_until_ready(self.state.counts)
+            t = _time.perf_counter()
+            _ph[name] = _ph.get(name, 0.0) + (t - _t0)
+            _t0 = t
+
         embeddings = np.asarray(embeddings, np.float32)
         B = len(embeddings)
         K = self.K
@@ -597,20 +641,30 @@ class VForest:
             lane_of = self._route_lanes(embeddings)
         else:
             lane_of = gids % K
+        _mark("route")
 
-        # arrange per-lane streams; round-robin lanes differ by at most 1
-        # round, content-routed lanes by the (slack-bounded) batch skew
-        per_lane = [embeddings[lane_of == s] for s in range(K)]
-        lens = np.asarray([len(p) for p in per_lane])
-        R_full = int(lens.min(initial=0))
-        R_max = int(lens.max(initial=0))
-        R_tail = R_max - R_full
+        if B == 0:
+            return gids
+
+        # pack per-lane streams into the (K, Rb, D) round tensor with ONE
+        # vectorized scatter (stable sort by lane -> contiguous runs);
+        # round-robin lanes differ by at most 1 round, content-routed
+        # lanes by the (slack-bounded) batch skew — the mask covers both
+        lens = np.bincount(lane_of, minlength=K)
+        R_max = int(lens.max())
+        Rb = max(8, 1 << (R_max - 1).bit_length())
         self._ensure_capacity(R_max + 1)
+        order = np.argsort(lane_of, kind="stable")
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        lanes_sorted = lane_of[order]
+        pos = np.arange(B) - starts[lanes_sorted]   # rank within lane
+        D = self.cfg.dim
+        xs_t = np.zeros((K, Rb, D), np.float32)
+        mask_t = np.zeros((K, Rb), bool)
+        xs_t[lanes_sorted, pos] = embeddings[order]
+        mask_t[lanes_sorted, pos] = True
         self._key, sub = jax.random.split(self._key)
-        n_keys = R_full + max(R_tail, 1)
-        all_keys = jax.random.split(sub, K * n_keys).reshape(
-            K, n_keys, -1
-        )
+        all_keys = jax.random.split(sub, K * Rb).reshape(K, Rb, -1)
 
         def retry(leaves, xs_kr, keys_kr, valid):
             """Retry descents the primary scan budget truncated: pack the
@@ -647,7 +701,8 @@ class VForest:
                     src[s, :len(idx)] = idx
             self.state, leaf2 = vinsert_rounds_masked(
                 self.state, jnp.asarray(xs2), jnp.asarray(keys2),
-                jnp.asarray(mask2), self.cfg, max_steps=_DEEP_STEPS,
+                jnp.asarray(mask2), self.cfg,
+                n_rounds=jnp.asarray(R2, jnp.int32), max_steps=_DEEP_STEPS,
             )
             leaf2 = np.asarray(leaf2)
             rows, cols = np.nonzero(mask2 & (leaf2 >= 0))
@@ -661,95 +716,39 @@ class VForest:
                 )
                 leaves[s, src[s, c]] = int(lf)
 
-        leaves_by_lane = [[] for _ in range(K)]
-        if R_full:
-            xs = np.stack([p[:R_full] for p in per_lane])       # (K, R, D)
-            # pad rounds to a power-of-two bucket with a dynamic valid
-            # count so ragged adds reuse a handful of compiled programs
-            Rb = max(8, 1 << (R_full - 1).bit_length())
-            xs_p = np.zeros((K, Rb, xs.shape[2]), np.float32)
-            xs_p[:, :R_full] = xs
-            keys_p = np.zeros((K, Rb, all_keys.shape[2]), all_keys.dtype)
-            keys_p[:, :R_full] = np.asarray(all_keys[:, :R_full])
-            self.state, leaves = vinsert_rounds(
-                self.state, jnp.asarray(xs_p), jnp.asarray(keys_p),
-                self.cfg, jnp.asarray(R_full, jnp.int32),
-                max_steps=self._budget,
-            )
-            # np.array (copy): jax->numpy views are read-only and the
-            # exact-path retry writes back into this buffer
-            leaves = np.array(leaves)[:, :R_full]
-            self._alloc_hi += 2 * R_full
-            retry(leaves, xs, all_keys[:, :R_full],
-                  np.ones_like(leaves, bool))
-            for s in range(K):
-                leaves_by_lane[s].extend(int(l) for l in leaves[s])
-        if R_tail == 1:
-            rem_mask = np.asarray([len(p) > R_full for p in per_lane])
-            xs = np.stack([
-                p[R_full] if len(p) > R_full else np.zeros(
-                    self.cfg.dim, np.float32)
-                for p in per_lane
-            ])
-            self.state, leaf = vinsert_masked_round(
-                self.state, jnp.asarray(xs), all_keys[:, R_full],
-                jnp.asarray(rem_mask), self.cfg,
-                max_steps=self._budget,
-            )
-            leaf = np.array(leaf)[:, None]
-            self._alloc_hi += 2
-            retry(leaf, xs[:, None], all_keys[:, R_full:R_full + 1],
-                  rem_mask[:, None])
-            leaf = leaf[:, 0]
-            for s in range(K):
-                if rem_mask[s]:
-                    leaves_by_lane[s].append(int(leaf[s]))
-        elif R_tail > 1:
-            # content-routed skew tail: pack every lane's leftover stream
-            # into ONE bucketed masked multi-round call at the deep budget
-            # (same programs as the retry waves, already warmed)
-            R2b = max(4, 1 << (R_tail - 1).bit_length())
-            D = self.cfg.dim
-            keys_np = np.asarray(all_keys[:, R_full:R_full + R_tail])
-            xs_t = np.zeros((K, R2b, D), np.float32)
-            keys_t = np.zeros((K, R2b, keys_np.shape[2]), keys_np.dtype)
-            mask_t = np.zeros((K, R2b), bool)
-            keys_t[:, :R_tail] = keys_np
-            for s in range(K):
-                t = per_lane[s][R_full:]
-                if len(t):
-                    xs_t[s, :len(t)] = t
-                    mask_t[s, :len(t)] = True
-            self.state, leaf_t = vinsert_rounds_masked(
-                self.state, jnp.asarray(xs_t), jnp.asarray(keys_t),
-                jnp.asarray(mask_t), self.cfg, max_steps=_DEEP_STEPS,
-            )
-            leaf_t = np.array(leaf_t)
-            self._alloc_hi += 2 * R_tail
-            for s, c in np.argwhere(mask_t & (leaf_t < 0)):
-                self.state, lf = _insert_one_lane(
-                    self.state, jnp.asarray(int(s), jnp.int32),
-                    jnp.asarray(xs_t[s, c]), jnp.asarray(keys_t[s, c]),
-                    self.cfg,
-                )
-                leaf_t[s, c] = int(lf)
-            for s in range(K):
-                n_t = len(per_lane[s]) - R_full
-                if n_t > 0:
-                    leaves_by_lane[s].extend(
-                        int(l) for l in leaf_t[s, :n_t])
+        _mark("assemble")
 
-        next_round = [0] * K
-        for g, s in zip(gids, lane_of):
-            self.shard_of.append(int(s))
-            self.local_sid.append(len(self._leaf_of_local[s]))
-            self._leaf_of_local[s].append(
-                leaves_by_lane[s][next_round[s]]
-            )
-            next_round[s] += 1
+        # ONE bucketed masked multi-round call covers the whole batch
+        # (previously: an unmasked primary block + two tail branches —
+        # three program families and an extra device dispatch per add)
+        self.state, leaves = vinsert_rounds_masked(
+            self.state, jnp.asarray(xs_t), jnp.asarray(all_keys),
+            jnp.asarray(mask_t), self.cfg,
+            n_rounds=jnp.asarray(R_max, jnp.int32),
+            max_steps=self._budget,
+        )
+        # np.array (copy): jax->numpy views are read-only and the
+        # exact-path retry writes back into this buffer
+        leaves = np.array(leaves)
+        self._alloc_hi += 2 * R_max
+        _mark("primary_rounds")
+        retry(leaves, xs_t, all_keys, mask_t)
+        _mark("retry")
+
+        # vectorized bookkeeping: sentence gid -> (lane, slot in lane)
+        base = np.asarray([len(l) for l in self._leaf_of_local])
+        pos_of = np.empty(B, np.int64)
+        pos_of[order] = pos
+        self.shard_of.extend(int(s) for s in lane_of)
+        self.local_sid.extend((base[lane_of] + pos_of).tolist())
+        for s in range(K):
+            if lens[s]:
+                self._leaf_of_local[s].extend(
+                    int(l) for l in leaves[s, :lens[s]])
         self.n_sentences += B
         self._stacked_index = None
         self._flat_index = None
+        _ph["bookkeeping"] = _time.perf_counter() - _t0
         return gids
 
     def build_index(self) -> StackedIndex:
