@@ -624,6 +624,35 @@ def pending_leaf_lp(queries: jnp.ndarray, vecs: jnp.ndarray,
     return jnp.where(valid[None, :], lp, -jnp.inf)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def delta_exact_topk(queries: jnp.ndarray, vecs: jnp.ndarray,
+                     n_valid: jnp.ndarray, prior_var: jnp.ndarray, k: int):
+    """Top-k of the fresh-leaf closed form over a consolidated DELTA
+    segment (rows the flat/blocked indexes have not absorbed yet), in
+    GEMM form: ``pending_leaf_lp`` materializes the (B, Np, D) broadcast,
+    fine at Np<=4k but not for the 64k+ segment the tiered pending store
+    holds — here d2 = ||q||^2 - 2 q.v + ||v||^2 rides one MXU matmul and
+    peak memory is the (B, Np) score matrix.  Rows >= ``n_valid`` (the
+    buffer's padding tail) score -inf.  Returns (scores, row indices)."""
+    qn = jnp.sum(jnp.square(queries), axis=1, keepdims=True)
+    vn = jnp.sum(jnp.square(vecs), axis=1)
+    dot = jnp.matmul(queries, vecs.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = qn - 2.0 * dot + vn[None, :]
+    D = queries.shape[1]
+    lp = -0.5 * (d2 / prior_var + D * jnp.log(prior_var))
+    valid = jnp.arange(vecs.shape[0]) < n_valid
+    lp = jnp.where(valid[None, :], lp, -jnp.inf)
+    return jax.lax.top_k(lp, k)
+
+
+@jax.jit
+def _append_rows(buf: jnp.ndarray, rows: jnp.ndarray, start: jnp.ndarray):
+    """Write a (bucket-padded) slab of rows at ``start`` (the buffer's
+    valid count).  The slab's zero padding lands in the invalid tail, so
+    callers only must keep capacity >= start + slab (no clamp shift)."""
+    return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+
 # ---------------------------------------------------------------------------
 # blocked (gather-free) indexed scoring — the MXU-native large-scale path
 # ---------------------------------------------------------------------------

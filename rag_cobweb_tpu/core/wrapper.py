@@ -160,16 +160,22 @@ class CobwebIndex:
         # O(N) rebuild; a full rebuild happens once pending exceeds
         # ``stale_pending_limit`` or an exact-index consumer runs.
         n_new = len(self.sentences) - n0
-        limit = max(self.stale_pending_limit,
-                    int(0.05 * len(self.sentences)))
         has_stale = (self._flat_cache is not None if self.forest is not None
                      else self._index is not None)
+        n_indexed = n0 - self._unindexed_count()
+        rebuild_at = max(self.delta_rebuild_min,
+                         int(self.delta_rebuild_frac * max(n_indexed, 1)))
         if (self.stale_reads and has_stale
-                and len(self._pending_sids) + n_new <= limit):
+                and self._unindexed_count() + n_new <= rebuild_at):
             self._pending_sids.extend(range(n0, n0 + n_new))
             self._pending_vecs = (
                 new_vectors if self._pending_vecs is None
                 else np.concatenate([self._pending_vecs, new_vectors]))
+            if len(self._pending_sids) > self.stale_pending_limit:
+                # tier-0 overflow -> consolidate into the device delta
+                # segment (O(new rows) append) instead of the old full
+                # index invalidation: the stale_pending_limit CLIFF is gone
+                self._consolidate_pending()
         else:
             self._invalidate_index()
         return leaves
@@ -204,12 +210,29 @@ class CobwebIndex:
         return self._emb_dev_cache
 
     def _init_pending(self):
+        # tier 0: recent unindexed rows, merged by the (B, Np, D)
+        # broadcast closed form — cheap while Np <= stale_pending_limit
         self._pending_sids: list[int] = []
         self._pending_vecs: Optional[np.ndarray] = None
+        # tier 1: CONSOLIDATED delta segment — a device-resident (cap, D)
+        # buffer of unindexed rows scored by the same closed form in GEMM
+        # form (index.delta_exact_topk).  Tier-0 overflow appends here
+        # instead of invalidating the index, so append-mostly workloads
+        # never hit the full flatten+blocked rebuild cliff; the rebuild is
+        # deferred until the segment reaches
+        # max(delta_rebuild_min, delta_rebuild_frac * indexed rows).
+        self._delta_vecs = None          # device (cap, D) f32
+        self._delta_sids = np.empty(0, np.int64)
+        self._delta_n = 0
         self._flat_cache = None   # forest mode: last-built flat index,
         #                           retained across adds for stale serving
         self.stale_reads = True
         self.stale_pending_limit = 4096
+        self.delta_rebuild_min = 65536
+        self.delta_rebuild_frac = 0.10
+
+    def _unindexed_count(self) -> int:
+        return len(self._pending_sids) + self._delta_n
 
     def _invalidate_index(self):
         self._index = None
@@ -217,6 +240,36 @@ class CobwebIndex:
         self._flat_cache = None
         self._beam_cache = None
         self._beam_src = None
+        self._pending_sids = []
+        self._pending_vecs = None
+        self._delta_vecs = None
+        self._delta_sids = np.empty(0, np.int64)
+        self._delta_n = 0
+
+    def _consolidate_pending(self):
+        """Move tier-0 pending rows into the device delta segment (one
+        bucketed-slab append; capacity grows by powers of two)."""
+        n_new = len(self._pending_sids)
+        if not n_new:
+            return
+        rows = np.asarray(self._pending_vecs[:n_new], np.float32)
+        need = self._delta_n + n_new
+        mb = max(1024, 1 << (n_new - 1).bit_length())   # slab bucket
+        cap = 0 if self._delta_vecs is None else self._delta_vecs.shape[0]
+        if self._delta_n + mb > cap:
+            new_cap = max(8192, 1 << (self._delta_n + mb - 1).bit_length())
+            buf = jnp.zeros((new_cap, self.cfg.dim), jnp.float32)
+            if self._delta_vecs is not None:
+                buf = index_mod._append_rows(
+                    buf, self._delta_vecs, jnp.int32(0))
+            self._delta_vecs = buf
+        slab = np.zeros((mb, self.cfg.dim), np.float32)
+        slab[:n_new] = rows
+        self._delta_vecs = index_mod._append_rows(
+            self._delta_vecs, jnp.asarray(slab), jnp.int32(self._delta_n))
+        self._delta_sids = np.concatenate(
+            [self._delta_sids, np.asarray(self._pending_sids, np.int64)])
+        self._delta_n = need
         self._pending_sids = []
         self._pending_vecs = None
 
@@ -233,7 +286,7 @@ class CobwebIndex:
 
     def _flush_pending(self):
         """Force exact-index semantics (rank_scores, beam, diagnostics)."""
-        if self._pending_sids:
+        if self._unindexed_count():
             self._invalidate_index()
 
     def build_prediction_index(self) -> index_mod.PredictionIndex:
@@ -309,7 +362,7 @@ class CobwebIndex:
         prediction index.  With a pending buffer active, the retained
         STALE flat index serves (pending rows merge by closed form)."""
         if self.forest is not None:
-            if self._pending_sids and self._flat_cache is not None:
+            if self._unindexed_count() and self._flat_cache is not None:
                 return self._flat_cache
             self._flat_cache = self.forest.flat_index()
             return self._flat_cache
@@ -460,15 +513,26 @@ class CobwebIndex:
         sync per batch."""
         q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
         kk = min(k, len(self.sentences))
-        if self._pending_sids:
-            self._flush_pending()   # serving API always serves exact
         if (self.forest is not None
                 and len(self.sentences) < self.blocked_threshold):
+            if self._unindexed_count():
+                self._flush_pending()   # small scale: rebuild is cheap
             return self._small_forest_topk(q, kk, rerank)[1]
+        if self._unindexed_count() and rerank == 0:
+            self._flush_pending()   # explicit rerank=0 = path-score order
         if rerank is None:
             rerank = (self.rerank_candidates
                       if len(self.sentences) >= self.rerank_threshold else 0)
-        return self._engine_topk(q, kk, rerank, tie_noise=False)[1]
+        if not self._unindexed_count():
+            return self._engine_topk(q, kk, rerank, tie_noise=False)[1]
+        # stale-serve: indexed candidates + exact closed-form pending/delta
+        # pools merge by the shared key — still EXACT ranking semantics
+        rerank = rerank or self.rerank_candidates
+        idx = self._flat_pred_index()
+        kk_old = min(kk, idx.num_sentences)
+        top_s, top_ids = self._engine_topk(q, kk_old, rerank,
+                                           tie_noise=False)
+        return jnp.asarray(self._merge_pending(q, top_s, top_ids, kk))
 
     def predict_fast(self, input, k=5, return_ids=False, is_embedding=False,
                      tie_noise: bool = False, rerank: Optional[int] = None):
@@ -487,7 +551,7 @@ class CobwebIndex:
         if (self.forest is not None
                 and len(self.sentences) < self.blocked_threshold):
             # small forest: per-lane merged query + exact re-rank polish
-            if self._pending_sids:
+            if self._unindexed_count():
                 self._flush_pending()
             top_ids = np.asarray(self._small_forest_topk(q, kk, rerank)[1])
             out = [
@@ -498,7 +562,7 @@ class CobwebIndex:
         # shared indexed path: single-tree, or forest-at-scale through the
         # flattened index — both serve the Pallas/blocked engine stack and
         # both support stale-index + pending-closed-form serving
-        if self._pending_sids and (tie_noise or rerank == 0):
+        if self._unindexed_count() and (tie_noise or rerank == 0):
             # tie-noise needs the exact index; an EXPLICIT rerank=0 asks for
             # path-score ranking, which the pending merge (leaf-lp keyed)
             # would silently override — flush instead of changing semantics.
@@ -506,15 +570,16 @@ class CobwebIndex:
         if rerank is None:
             rerank = (self.rerank_candidates
                       if len(self.sentences) >= self.rerank_threshold else 0)
-        if self._pending_sids:
-            # stale-index serve: rerank scores are leaf log-probs — the
-            # same scale pending_leaf_lp produces, so the merge is exact
+        if self._unindexed_count():
+            # stale-index serve: rerank scores are the exact closed form —
+            # the same scale the pending/delta pools produce, so the merge
+            # is exact
             rerank = rerank or self.rerank_candidates
         idx = self._flat_pred_index()
         n_indexed = idx.num_sentences
         kk_old = min(kk, n_indexed)
         top_s, top_ids = self._engine_topk(q, kk_old, rerank, tie_noise)
-        if self._pending_sids:
+        if self._unindexed_count():
             top_ids = self._merge_pending(q, top_s, top_ids, kk)
         ids = np.asarray(top_ids)
         out = [
@@ -524,25 +589,37 @@ class CobwebIndex:
         return out[0] if single else out
 
     def _merge_pending(self, q, top_s, top_ids, k: int) -> np.ndarray:
-        """Merge stale-index candidates with exact pending scores (both are
-        leaf log-probs) -> (B, k) sentence ids."""
-        vecs = self._pending_vecs
+        """Merge stale-index candidates with exact unindexed-row scores
+        (all three pools share the fresh-leaf closed-form key) ->
+        (B, k) sentence ids.  Pools: tier-0 pending (broadcast form),
+        tier-1 consolidated delta segment (GEMM form)."""
+        all_s = [np.asarray(top_s)]
+        all_ids = [np.asarray(top_ids)]
         n_p = len(self._pending_sids)
-        n_pad = max(8, 1 << (n_p - 1).bit_length())   # bucketed jit shape
-        vp = np.zeros((n_pad, vecs.shape[1]), np.float32)
-        vp[:n_p] = vecs[:n_p]
-        valid = np.zeros((n_pad,), bool)
-        valid[:n_p] = True
-        lp = index_mod.pending_leaf_lp(
-            q, jnp.asarray(vp), jnp.asarray(valid),
-            jnp.float32(self.cfg.prior_var),
-        )
-        kp = min(k, n_pad)
-        ps, ppos = jax.lax.top_k(lp, kp)
-        pend_ids = np.asarray(self._pending_sids + [0] * (n_pad - n_p))[
-            np.asarray(ppos)]
-        all_s = np.concatenate([np.asarray(top_s), np.asarray(ps)], axis=1)
-        all_ids = np.concatenate([np.asarray(top_ids), pend_ids], axis=1)
+        if n_p:
+            vecs = self._pending_vecs
+            n_pad = max(8, 1 << (n_p - 1).bit_length())  # bucketed shape
+            vp = np.zeros((n_pad, vecs.shape[1]), np.float32)
+            vp[:n_p] = vecs[:n_p]
+            valid = np.zeros((n_pad,), bool)
+            valid[:n_p] = True
+            lp = index_mod.pending_leaf_lp(
+                q, jnp.asarray(vp), jnp.asarray(valid),
+                jnp.float32(self.cfg.prior_var),
+            )
+            ps, ppos = jax.lax.top_k(lp, min(k, n_pad))
+            all_s.append(np.asarray(ps))
+            all_ids.append(np.asarray(
+                self._pending_sids + [0] * (n_pad - n_p))[np.asarray(ppos)])
+        if self._delta_n:
+            ds, dpos = index_mod.delta_exact_topk(
+                q, self._delta_vecs, jnp.int32(self._delta_n),
+                jnp.float32(self.cfg.prior_var), min(k, self._delta_n))
+            all_s.append(np.asarray(ds))
+            all_ids.append(self._delta_sids[
+                np.asarray(dpos).clip(0, self._delta_n - 1)])
+        all_s = np.concatenate(all_s, axis=1)
+        all_ids = np.concatenate(all_ids, axis=1)
         order = np.argsort(-all_s, axis=1, kind="stable")[:, :k]
         return np.take_along_axis(all_ids, order, axis=1)
 

@@ -352,10 +352,70 @@ def test_forest_stale_pending_add_then_query():
     got_old = db.predict_fast(base[7], k=5, is_embedding=True,
                               return_ids=True)
     assert 7 in got_old, got_old
-    # exact consumers flush and rebuild with the new rows included
-    # (explicit rerank: below rerank_threshold the auto path-score
-    # ranking ties same-cluster rows)
+    # the serving API also stale-serves (tiered pending merge shares the
+    # exact closed-form key, so ranking semantics stay exact)
     ids = np.asarray(db.query_ids(new[:4], k=5, rerank=64))
-    assert not db._pending_sids
+    assert db._pending_sids, "query_ids must NOT flush (stale-serve)"
+    assert db._flat_cache is flat_before
     assert ids.shape == (4, 5)
     assert ids[0][0] == sid0, ids[0]
+    # explicit rerank=0 asks for raw path-score order -> that DOES flush
+    db.query_ids(new[:4], k=5, rerank=0)
+    assert not db._pending_sids
+
+
+def test_tiered_delta_kills_pending_overflow_cliff():
+    """Tier-0 overflow CONSOLIDATES into the device delta segment
+    (index.delta_exact_topk GEMM pool) instead of invalidating the index:
+    append-mostly workloads never pay the full flatten+blocked rebuild
+    until the (much larger) rebuild threshold.  The old behavior rebuilt
+    everything the moment pending crossed stale_pending_limit — a
+    60-200 s cliff at 1M."""
+    rng = np.random.default_rng(11)
+    D = 16
+    centers = rng.normal(scale=4.0, size=(8, D)).astype(np.float32)
+    base = np.concatenate([
+        c + 0.2 * rng.normal(size=(40, D)) for c in centers
+    ]).astype(np.float32)
+    db = CobwebIndex(corpus_embeddings=base, config=TreeConfig(dim=D),
+                     n_subtrees=4)
+    db.blocked_threshold = 64          # force the flat-index regime
+    db.stale_pending_limit = 32        # shrink the tiers for test speed
+    db.delta_rebuild_min = 128
+    db.predict_fast(base[0], k=3, is_embedding=True)
+    flat_before = db._flat_cache
+    assert flat_before is not None
+
+    sid0 = len(base)
+    new = (centers[2] + 0.2 * rng.normal(size=(60, D))).astype(np.float32)
+    db.add_sentences([None] * 20, new[:20])     # tier 0
+    assert len(db._pending_sids) == 20 and db._delta_n == 0
+    db.add_sentences([None] * 20, new[20:40])   # overflow -> consolidate
+    assert db._delta_n == 40 and not db._pending_sids
+    assert db._flat_cache is flat_before, "NO rebuild on overflow"
+    db.add_sentences([None] * 20, new[40:60])   # tier 0 again on top
+    assert db._delta_n == 40 and len(db._pending_sids) == 20
+
+    # every unindexed row is retrievable at top-1 (exact closed-form keys
+    # in both tiers), old rows still serve from the stale index
+    for probe, want in ((0, sid0), (25, sid0 + 25), (45, sid0 + 45)):
+        got = db.predict_fast(new[probe], k=3, is_embedding=True,
+                              return_ids=True)
+        assert got[0] == want, (probe, got)
+    got_old = db.predict_fast(base[7], k=5, is_embedding=True,
+                              return_ids=True)
+    assert 7 in got_old, got_old
+    ids = np.asarray(db.query_ids(new[:8], k=1))
+    assert ids[:, 0].tolist() == list(range(sid0, sid0 + 8))
+    assert db._flat_cache is flat_before, "serving stays rebuild-free"
+
+    # pushing past the rebuild threshold finally invalidates (deferred
+    # maintenance, not a per-add cliff)
+    big = (centers[5] + 0.2 * rng.normal(size=(80, D))).astype(np.float32)
+    db.add_sentences([None] * 80, big)
+    assert db._unindexed_count() == 0 and db._flat_cache is None
+    # explicit rerank: below rerank_threshold the auto path-score ranking
+    # ties same-cluster rows
+    got = db.predict_fast(big[0], k=3, is_embedding=True, return_ids=True,
+                          rerank=256)
+    assert got[0] == sid0 + 60, got
