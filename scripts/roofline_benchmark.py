@@ -27,16 +27,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed(fn, *args, reps: int = 5):
+def timed(fn, *args, reps: int = 8):
+    """(pipelined_ms, sync_ms, out): pipelined = reps async dispatches,
+    one final block — the engine's THROUGHPUT cost, which is what the
+    roofline models bound.  sync = median single dispatch+block — the
+    LATENCY a lone caller sees, floored at ~30 ms by the host<->device
+    relay on this rig regardless of engine (do not read it as device
+    time)."""
     import jax
     out = fn(*args)
     jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(reps)]
+    for o in outs:
+        jax.block_until_ready(o)
+    pipelined = (time.perf_counter() - t0) / reps
     ts = []
-    for _ in range(reps):
+    for _ in range(3):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)), out
+    return float(pipelined), float(np.median(ts)), out
 
 
 def main():
@@ -102,44 +113,46 @@ def main():
     for B in [int(x) for x in args.batches.split(",")]:
         q = jnp.asarray(np.resize(queries_w, (B, D)).astype(np.float32))
 
-        ms, _ = timed(lambda qq: fi.search_device(qq, args.k), q)
-        rows.append(rl.exact_flat_model(B, len(corpus_w), D)
-                    .report(ms, B))
+        ms, sync_ms, _ = timed(lambda qq: fi.search_device(qq, args.k), q)
+        rows.append(dict(rl.exact_flat_model(B, len(corpus_w), D)
+                         .report(ms, B), sync_ms=round(sync_ms, 3)))
 
-        ms, _ = timed(lambda qq: index_mod.blocked_query_topk(
+        ms, sync_ms, _ = timed(lambda qq: index_mod.blocked_query_topk(
             bidx, qq, args.k), q)
-        rows.append(rl.model_for_blocked_index(bidx, B, fused=False)
-                    .report(ms, B))
+        rows.append(dict(rl.model_for_blocked_index(bidx, B, fused=False)
+                         .report(ms, B), sync_ms=round(sync_ms, 3)))
 
         if pq.pallas_fits_vmem(bidx, B, db.pallas_block_k):
-            ms, _ = timed(lambda qq: pq.pallas_blocked_topk(
+            ms, sync_ms, _ = timed(lambda qq: pq.pallas_blocked_topk(
                 bidx, qq, max(args.k, args.rerank),
                 interpret=not on_tpu, block_k=db.pallas_block_k), q)
-            rows.append(rl.model_for_blocked_index(bidx, B, fused=True)
-                        .report(ms, B))
+            rows.append(dict(rl.model_for_blocked_index(bidx, B, fused=True)
+                             .report(ms, B), sync_ms=round(sync_ms, 3)))
         else:
-            ms, _ = timed(lambda qq: db._pallas_topk(
+            ms, sync_ms, _ = timed(lambda qq: db._pallas_topk(
                 bidx, flat, qq, args.k, args.rerank), q)
-            r = rl.model_for_blocked_index(bidx, B, fused=True).report(ms, B)
+            r = dict(rl.model_for_blocked_index(bidx, B, fused=True)
+                     .report(ms, B), sync_ms=round(sync_ms, 3))
             r["engine"] = "pallas_fused_chunked"
             rows.append(r)
 
-        ms, _ = timed(lambda qq: index_mod._leaf_lp_rerank(
+        ms, sync_ms, _ = timed(lambda qq: index_mod._leaf_lp_rerank(
             flat, qq, jnp.zeros((B, args.rerank), jnp.int32),
             jnp.zeros((B, args.rerank), jnp.float32), args.k), q)
-        rows.append(rl.leaf_rerank_model(B, args.rerank, D).report(ms, B))
+        rows.append(dict(rl.leaf_rerank_model(B, args.rerank, D)
+                         .report(ms, B), sync_ms=round(sync_ms, 3)))
 
         if not args.skip_beam:
             bmidx = db.forest.beam_index()
             depth = -(-max(db.forest._beam_depth, 1) // 4) * 4
             W = max(args.beam_width, args.lanes)
             C = min(64 * max(1, -(-4 * W // 64)), W * 16)
-            ms, _ = timed(lambda qq: index_mod.beam_pack_topk(
+            ms, sync_ms, _ = timed(lambda qq: index_mod.beam_pack_topk(
                 bmidx, qq, args.k, beam_width=args.beam_width,
                 max_depth=depth, n_roots=args.lanes), q)
             m = rl.beam_pack_model(
                 B, depth, C, D, pack_bytes=bmidx.pack.dtype.itemsize)
-            rows.append(m.report(ms, B))
+            rows.append(dict(m.report(ms, B), sync_ms=round(sync_ms, 3)))
 
         for r in rows[-5:]:
             log(f"[roofline] B={B} {r['engine']}: {r['measured_ms']} ms "
