@@ -33,12 +33,20 @@ def main():
     p.add_argument("--lanes", type=int, default=64)
     p.add_argument("--pools", type=str, default="0,64,128,256,512,1024,2048")
     p.add_argument("--widths", type=str, default="2,4,8,16,32")
+    p.add_argument("--beam-lanes", type=str, default="0",
+                   help="comma list of lanes_per_query for the beam curve "
+                        "(0 = all lanes; content routing makes small "
+                        "values viable)")
+    p.add_argument("--routing", choices=["round_robin", "content"],
+                   default="round_robin")
+    p.add_argument("--dataset", choices=["hard", "easy"], default="hard")
     p.add_argument("--skip-beam", action="store_true")
     p.add_argument("--skip-pools", action="store_true")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
-    from rag_cobweb_tpu.bench.datasets import synthetic_retrieval_hard
+    from rag_cobweb_tpu.bench.datasets import (
+        synthetic_retrieval, synthetic_retrieval_hard)
     from rag_cobweb_tpu.bench.baselines import FlatIndex
     from rag_cobweb_tpu.whitening import PCAICAWhiteningModel
     from rag_cobweb_tpu.core.config import TreeConfig
@@ -48,8 +56,9 @@ def main():
         print(*a, file=sys.stderr, flush=True)
 
     pca_dim = args.pca_dim if args.pca_dim < 1 else int(args.pca_dim)
-    data = synthetic_retrieval_hard(args.corpus_size, args.queries,
-                                    args.dim)
+    gen = (synthetic_retrieval_hard if args.dataset == "hard"
+           else synthetic_retrieval)
+    data = gen(args.corpus_size, args.queries, args.dim)
     gold = data.target_ids
 
     def recall(ids):
@@ -69,13 +78,15 @@ def main():
         f"(dim {cw.shape[1]})")
 
     db = CobwebIndex(config=TreeConfig(dim=cw.shape[1]),
-                     capacity=4 * len(cw) + 16, n_subtrees=args.lanes)
+                     capacity=4 * len(cw) + 16, n_subtrees=args.lanes,
+                     routing=args.routing)
     db.forest.warmup_insert_programs(len(cw))
     t0 = time.perf_counter()
     db.add_sentences([None] * len(cw), cw)
     log(f"[sweep] build {time.perf_counter()-t0:.1f}s")
 
     out = {"corpus_size": args.corpus_size, "dim": int(cw.shape[1]),
+           "dataset": data.name, "routing": args.routing,
            "exact_raw": exact_raw, "exact_whitened": exact_w,
            "pool_curve": [], "beam_curve": []}
     for pool in ([] if args.skip_pools
@@ -93,18 +104,24 @@ def main():
         log(f"[sweep] pool={pool}: recall {r:.4f} ({dt:.3f} ms/q warm)")
 
     if not args.skip_beam:
+        lane_list = [int(x) for x in args.beam_lanes.split(",")]
         for w in [int(x) for x in args.widths.split(",")]:
-            # warm the compiled program for this width (beam_topk chunks
-            # internally) so the curve records steady-state latency
-            db.forest.beam_topk(qw, args.k, beam_width=w)
-            t0 = time.perf_counter()
-            ids = db.forest.beam_topk(qw, args.k, beam_width=w)
-            r = recall(ids)
-            dt = (time.perf_counter() - t0) * 1e3 / len(qw)
-            out["beam_curve"].append(
-                {"beam_width": w, "recall": round(r, 4),
-                 "ms_per_query": round(dt, 4)})
-            log(f"[sweep] beam={w}: recall {r:.4f} ({dt:.3f} ms/q)")
+            for L in lane_list:
+                lpq = None if L == 0 else L
+                # warm the compiled program for this (width, lanes) so the
+                # curve records steady-state latency
+                db.forest.beam_topk(qw, args.k, beam_width=w,
+                                    lanes_per_query=lpq)
+                t0 = time.perf_counter()
+                ids = db.forest.beam_topk(qw, args.k, beam_width=w,
+                                          lanes_per_query=lpq)
+                r = recall(ids)
+                dt = (time.perf_counter() - t0) * 1e3 / len(qw)
+                out["beam_curve"].append(
+                    {"beam_width": w, "lanes_per_query": L,
+                     "recall": round(r, 4), "ms_per_query": round(dt, 4)})
+                log(f"[sweep] beam={w} lanes={L or 'all'}: recall {r:.4f} "
+                    f"({dt:.3f} ms/q)")
 
     if args.out:
         import os
