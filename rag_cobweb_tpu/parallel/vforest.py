@@ -530,14 +530,24 @@ class VForest:
         out[o] = np.arange(len(g)) - starts[gs]
         return out
 
+    # per-lane load cap, as a multiple of the mean lane load.  2.0 keeps
+    # spill DEPTH small (spills stay within each point's top few lanes)
+    # at the cost of up to 2x state-array memory for a fully skewed
+    # stream; 1.3 measurably pushed whole clusters into arbitrary lanes
+    # and capped query-time top-L lane coverage at ~0.88 (L=8, 10k easy).
+    route_cap_factor: float = 2.0
+
     def _route_lanes(self, x: np.ndarray) -> np.ndarray:
-        """Nearest-centroid lane assignment under a hard per-lane cap
-        (1.3x mean + margin — skewed batches would otherwise blow per-lane
-        capacity and the per-round insert packing), fully vectorized (a
-        per-row host loop here cost 13.7 s at B=10k — more than the whole
-        device insert).  Three passes: margin-confident rows claim their
-        nearest lane first; spilled rows try their second-nearest; the
-        remainder deals round-robin into the least-loaded lanes.
+        """Nearest-centroid lane assignment under a per-lane load cap
+        (``route_cap_factor`` x mean + margin — skewed batches would
+        otherwise blow per-lane capacity and the per-round insert
+        packing), fully vectorized (a per-row host loop here cost 13.7 s
+        at B=10k — more than the whole device insert).  Spills are
+        CONTENT-LOCAL: a row that misses its nearest lane walks its own
+        centroid ranking (2nd, 3rd, ... nearest with room), so query-time
+        ``select_lanes`` top-L probing still covers it — dealing spills
+        into least-loaded lanes (the old pass 3) made them unreachable
+        and capped forest-beam recall at the routing hit rate.
         Centroids track their lane's running mean."""
         K = self.K
         B = len(x)
@@ -552,7 +562,7 @@ class VForest:
         top2[swap] = top2[swap][:, ::-1]
         load = self._lane_total.copy()
         total_after = int(load.sum()) + B
-        cap = int(1.3 * total_after / K) + 16
+        cap = int(self.route_cap_factor * total_after / K) + 16
         room = np.maximum(cap - load, 0)
 
         lane_of = np.full(B, -1, np.int32)
@@ -572,15 +582,29 @@ class VForest:
             lane_of[rem[take2]] = lane2[take2]
             room = room - np.bincount(lane2[take2], minlength=K)
             rem = rem[~take2]
-        # pass 3: deal the remainder into the lanes with the most room
+        # pass 3: remaining rows walk their own centroid ranking (3rd,
+        # 4th, ... nearest lane with room) so spills stay content-local
         if rem.size:
-            lane_order = np.argsort(-room)
-            slots = np.repeat(lane_order, np.maximum(room, 0)[lane_order])
-            if slots.size < rem.size:   # cap too tight: cycle all lanes
-                slots = np.concatenate([
-                    slots, np.tile(np.argsort(load),
-                                   -(-(rem.size - slots.size) // K))])
-            lane_of[rem] = slots[:rem.size]
+            ranks = np.argsort(-s[rem], axis=1)          # (R, K)
+            left = np.arange(rem.size)
+            for r in range(2, K):
+                if left.size == 0:
+                    break
+                lane_r = ranks[left, r]
+                take = self._cumcount(lane_r, K) < room[lane_r]
+                sel = left[take]
+                lane_of[rem[sel]] = lane_r[take]
+                room = room - np.bincount(lane_r[take], minlength=K)
+                left = left[~take]
+            if left.size:   # cap exhausted everywhere: least-loaded
+                lane_order = np.argsort(-room)
+                slots = np.repeat(lane_order,
+                                  np.maximum(room, 0)[lane_order])
+                if slots.size < left.size:
+                    slots = np.concatenate([
+                        slots, np.tile(np.argsort(load),
+                                       -(-(left.size - slots.size) // K))])
+                lane_of[rem[left]] = slots[:left.size]
         load += np.bincount(lane_of, minlength=K)
         self._lane_total = load
         # running-mean centroid update (exact mean of all routed rows)
