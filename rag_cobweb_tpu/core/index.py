@@ -942,14 +942,27 @@ def blocked_scores(bidx: BlockedIndex, queries: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(bidx.valid[None, :, :], scores, -jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def blocked_query_topk(bidx: BlockedIndex, queries: jnp.ndarray, k: int):
-    """Batched top-k over the blocked scores -> (scores, sentence ids)."""
+@functools.partial(jax.jit, static_argnames=("k", "approx", "recall_target"))
+def blocked_query_topk(bidx: BlockedIndex, queries: jnp.ndarray, k: int,
+                       approx: bool = False, recall_target: float = 0.95):
+    """Batched top-k over the blocked scores -> (scores, sentence ids).
+
+    ``approx=True`` selects with ``jax.lax.approx_max_k`` (TPU-native
+    PartialReduce, ~0.95 expected per-element recall) instead of the exact
+    sort — the right trade when the result is a CANDIDATE POOL feeding the
+    exact re-rank (``_rerank_step``): the epilogue top-``rerank`` over the
+    (B, NB*TS) score matrix is the dominant non-matmul cost of the blocked
+    sweep at 100k+, and pool membership, not pool order, is all that
+    matters downstream.  Exact callers (rerank=0 path-score serving, tests)
+    keep the default."""
     scores = blocked_scores(bidx, queries)
     B, NB, TS = scores.shape
     flat = scores.reshape(B, NB * TS)
     k = min(k, NB * TS)
-    top, pos = jax.lax.top_k(flat, k)
+    if approx and k < NB * TS:
+        top, pos = jax.lax.approx_max_k(flat, k, recall_target=recall_target)
+    else:
+        top, pos = jax.lax.top_k(flat, k)
     sids = bidx.sid_of_slot.reshape(-1)[pos]
     return top, sids
 

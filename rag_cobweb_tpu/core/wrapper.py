@@ -385,10 +385,27 @@ class CobwebIndex:
     # engines serve (>= blocked_threshold); 512 covers both regimes.
     rerank_threshold = 8192
     rerank_candidates = 512
-    # serve the fused Pallas sweep whenever its VMEM estimate fits (the
-    # fastest engine at scale: 0.41 ms/query at 1M vs 0.99 for the XLA
-    # blocked path); False pins the XLA blocked path
+    # select the XLA blocked sweep's re-rank CANDIDATE POOL with the
+    # TPU-native approximate top-k (jax.lax.approx_max_k) instead of the
+    # exact sort: pool membership, not order, is what the exact re-rank
+    # consumes, and the exact top-512 epilogue over (B, NB*TS) is the
+    # sweep's dominant non-matmul cost at 100k+.  Final rankings stay
+    # exact (the re-rank key is exact); rerank=0 serving is unaffected.
+    # Controlled A/B at 100k hard, one build, pool 512 (RESULTS.md):
+    # exact 0.918 @ 115 us/q, approx(0.95) 0.917 @ 43 us/q, approx(0.99)
+    # 0.918 @ 111 us/q — 0.95 is the trade (2.7x for -0.001 recall@10);
+    # 0.99 degenerates to exact-sort cost at this input size.
+    approx_pool = True
+    approx_recall_target = 0.95
+    # serve the fused Pallas sweep whenever its VMEM estimate fits AND the
+    # corpus is at least pallas_threshold sentences; False pins the XLA
+    # blocked path.  With the approximate pool the XLA path measures
+    # 29 us/q vs Pallas 52 us/q at 100k (B=1024) — the Pallas kernel's
+    # VMEM streaming only pays off once the (B, NB*TS) score matrix HBM
+    # round-trip dominates (it beat the EXACT-epilogue XLA path 0.41 ms
+    # vs 0.99 ms at 1M; threshold re-derived against approx at 1M).
     use_pallas = True
+    pallas_threshold = 300_000
     # per-block candidates the Pallas kernel extracts; the merged pool
     # (NB * block_k) feeds the leaf-lp re-rank
     pallas_block_k = 16
@@ -406,13 +423,15 @@ class CobwebIndex:
         idx = self._flat_pred_index()
         if len(self.sentences) >= self.blocked_threshold and not tie_noise:
             bidx = self._blocked_index()
-            if self.use_pallas:
+            if self.use_pallas and len(self.sentences) >= self.pallas_threshold:
                 out = self._pallas_topk(bidx, idx, q, kk, rerank)
                 if out is not None:
                     return out
             if rerank:
                 cs, cand = index_mod.blocked_query_topk(
-                    bidx, q, min(max(rerank, kk), idx.num_sentences))
+                    bidx, q, min(max(rerank, kk), idx.num_sentences),
+                    approx=self.approx_pool,
+                    recall_target=self.approx_recall_target)
                 return self._rerank_step(idx, q, cand, cs, kk)
             return index_mod.blocked_query_topk(bidx, q, kk)
         if rerank and not tie_noise:

@@ -188,6 +188,17 @@ def main():
         run_eval("xla_blocked_rerank", xla_blocked,
                  rl.model_for_blocked_index(bidx, args.batch, fused=False))
 
+        # approximate candidate pool (TPU PartialReduce top-k): kills the
+        # exact top-512 epilogue, the sweep's dominant non-matmul cost
+        def xla_approx(qb, k):
+            cs, cand = index_mod.blocked_query_topk(
+                bidx, jnp.asarray(qb), max(k, args.rerank), approx=True,
+                recall_target=db.approx_recall_target)
+            return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
+
+        run_eval("xla_blocked_approx_rerank", xla_approx,
+                 rl.model_for_blocked_index(bidx, args.batch, fused=False))
+
         if size <= 1_100_000:
             flat_base = FlatIndex(corpus_w[:size], metric="l2")
             run_eval("flat_exact_whitened",
@@ -209,6 +220,19 @@ def main():
             return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
 
         run_eval("xla_blocked_bf16_rerank", bf16_rerank,
+                 rl.model_for_blocked_index(bidx16, args.batch,
+                                            fused=False))
+
+        # bf16 sweep + approx pool + f32 exact re-rank: half the matmul
+        # and HBM cost AND no exact epilogue — the expected fastest
+        # formulation at 1M
+        def bf16_approx(qb, k):
+            cs, cand = index_mod.blocked_query_topk(
+                bidx16, jnp.asarray(qb), max(k, args.rerank), approx=True,
+                recall_target=db.approx_recall_target)
+            return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
+
+        run_eval("xla_blocked_bf16_approx_rerank", bf16_approx,
                  rl.model_for_blocked_index(bidx16, args.batch,
                                             fused=False))
         db._blocked = None

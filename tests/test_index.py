@@ -150,6 +150,25 @@ def test_blocked_query_topk_agrees(built):
         assert set(np.asarray(got)[b]) == set(np.asarray(want)[b])
 
 
+def test_blocked_query_topk_approx_pool(built):
+    """approx=True (jax.lax.approx_max_k candidate selection) must return
+    a pool whose top entries cover the exact pool's — the serving path
+    re-ranks the pool with an exact key, so membership is the contract.
+    (On CPU the approx primitive falls back to exact selection; this pins
+    shapes/dtypes and the recall_target plumbing.)"""
+    tree, idx, xs, leaves = built
+    bidx = index_mod.build_blocked_index(idx, block_size=32, node_pad=16)
+    q = jnp.asarray(xs[:8])
+    s_e, ids_e = index_mod.blocked_query_topk(bidx, q, 16)
+    s_a, ids_a = index_mod.blocked_query_topk(bidx, q, 16, approx=True,
+                                              recall_target=0.95)
+    assert ids_a.shape == ids_e.shape and s_a.dtype == s_e.dtype
+    for b in range(8):
+        got = set(np.asarray(ids_a)[b])
+        want = set(np.asarray(ids_e)[b][:8])   # top half must be covered
+        assert len(want - got) == 0, (b, want - got)
+
+
 def test_pallas_blocked_topk_interpret_matches(built):
     """The Pallas fused query kernel (interpret mode on CPU) must agree with
     the XLA blocked path."""

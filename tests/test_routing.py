@@ -50,12 +50,14 @@ def test_routing_inserts_everything(routed, data):
 
 
 def test_routing_balance_bounded(routed, data):
-    """Power-of-two-choices + the hard cap keep lane loads near uniform
-    even though assignment is content-first."""
+    """Content-first assignment with the route_cap_factor hard cap: loads
+    may skew toward content lanes (spills stay content-local rather than
+    being dealt uniformly), but no lane exceeds the documented cap."""
     loads = np.asarray([len(l) for l in routed._leaf_of_local])
     assert loads.sum() == len(data)
     mean = len(data) / K
-    assert loads.max() <= int(1.3 * mean) + 17
+    cap = int(routed.route_cap_factor * mean) + 16
+    assert loads.max() <= cap, (loads.tolist(), cap)
     assert loads.min() >= 1
 
 

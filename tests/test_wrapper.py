@@ -191,7 +191,7 @@ def test_stale_pending_add_then_query():
 
 def test_pallas_engine_routing():
     """predict_fast must serve the Pallas fused sweep (interpret mode on
-    CPU) when the corpus exceeds blocked_threshold and the kernel fits
+    CPU) when the corpus exceeds pallas_threshold and the kernel fits
     VMEM — the fastest engine is the product, not a script-only path."""
     rng = np.random.default_rng(11)
     D = 16
@@ -201,6 +201,7 @@ def test_pallas_engine_routing():
     ]).astype(np.float32)
     db = CobwebIndex(corpus_embeddings=embs, config=TreeConfig(dim=D))
     db.blocked_threshold = 64          # force the blocked/Pallas regime
+    db.pallas_threshold = 64           # (sized for 1M-scale serving)
     assert db.use_pallas
 
     import rag_cobweb_tpu.ops.pallas_query as pq
