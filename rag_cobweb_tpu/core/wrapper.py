@@ -397,14 +397,15 @@ class CobwebIndex:
     # 0.99 degenerates to exact-sort cost at this input size.
     approx_pool = True
     approx_recall_target = 0.95
-    # serve the fused Pallas sweep whenever its VMEM estimate fits AND the
-    # corpus is at least pallas_threshold sentences; False pins the XLA
-    # blocked path.  With the approximate pool the XLA path measures
-    # 29 us/q vs Pallas 52 us/q at 100k (B=1024) — the Pallas kernel's
-    # VMEM streaming only pays off once the (B, NB*TS) score matrix HBM
-    # round-trip dominates (it beat the EXACT-epilogue XLA path 0.41 ms
-    # vs 0.99 ms at 1M; threshold re-derived against approx at 1M).
-    use_pallas = True
+    # opt-in: serve the fused Pallas sweep (ops/pallas_query) above
+    # pallas_threshold sentences instead of the XLA blocked path.  The
+    # kernel's VMEM streaming beat the EXACT-epilogue XLA path at 1M
+    # (0.41 vs 0.99 ms/q), but the approximate pool removed that epilogue
+    # and the XLA path now wins at every measured scale (us/q, measured
+    # head-to-head): 100k 29 vs 52; 500k 145 vs 167; 1M 162 vs 267
+    # (scripts/million_benchmark.py, B=256-1024).  The kernel stays as a
+    # selectable engine and the fallback proof for VMEM-era corpora.
+    use_pallas = False
     pallas_threshold = 300_000
     # per-block candidates the Pallas kernel extracts; the merged pool
     # (NB * block_k) feeds the leaf-lp re-rank

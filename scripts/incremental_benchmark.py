@@ -30,6 +30,10 @@ def main():
     p.add_argument("--pca-dim", type=int, default=128)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--vforest", type=int, default=64)
+    p.add_argument("--cache", type=str, default=None,
+                   help=".npz with a precomputed whitened corpus_w (e.g. "
+                        "million_benchmark's /tmp/mb_cache_*.npz) — skips "
+                        "the ~10 min single-core generation at 1M")
     args = p.parse_args()
 
     from rag_cobweb_tpu.bench.datasets import synthetic_retrieval
@@ -38,16 +42,27 @@ def main():
     from rag_cobweb_tpu.whitening import PCAICAWhiteningModel
 
     total = args.size + args.add
-    data = synthetic_retrieval(total, 256, args.dim,
-                               n_clusters=max(256, total // 256))
-    wh = PCAICAWhiteningModel.fit(data.corpus_embs[:50_000],
-                                  pca_dim=args.pca_dim, ica_max_iter=300)
-    corpus_w = wh.transform(data.corpus_embs)
+    if args.cache:
+        with np.load(args.cache) as z:
+            corpus_w = z["corpus_w"]
+        assert len(corpus_w) >= total, (len(corpus_w), total)
+        corpus_w = np.ascontiguousarray(corpus_w[:total])
+    else:
+        data = synthetic_retrieval(total, 256, args.dim,
+                                   n_clusters=max(256, total // 256))
+        wh = PCAICAWhiteningModel.fit(data.corpus_embs[:50_000],
+                                      pca_dim=args.pca_dim, ica_max_iter=300)
+        corpus_w = wh.transform(data.corpus_embs)
 
     lanes = max(1, args.vforest)
+    # ~2 nodes per sentence (leaf + amortized internals), same sizing the
+    # 1M benchmark uses — 4x leaves OOMs a 16 GB chip at 1M (the warmup
+    # holds a throwaway state of the same capacity alongside the real one)
+    cap = (lanes * max(2048, (2 * total) // lanes + 64) if lanes > 1
+           else 4 * total + 16)
     db = CobwebIndex(corpus=None, corpus_embeddings=None,
                      config=TreeConfig(dim=corpus_w.shape[1]),
-                     capacity=4 * total + 16,
+                     capacity=cap,
                      n_subtrees=lanes)
     if lanes > 1:
         db.forest.warmup_insert_programs(args.size)

@@ -201,8 +201,8 @@ def test_pallas_engine_routing():
     ]).astype(np.float32)
     db = CobwebIndex(corpus_embeddings=embs, config=TreeConfig(dim=D))
     db.blocked_threshold = 64          # force the blocked/Pallas regime
-    db.pallas_threshold = 64           # (sized for 1M-scale serving)
-    assert db.use_pallas
+    db.pallas_threshold = 64           # (default gates on 1M-scale serving)
+    db.use_pallas = True               # opt-in engine (default XLA+approx)
 
     import rag_cobweb_tpu.ops.pallas_query as pq
     calls = {"n": 0}
