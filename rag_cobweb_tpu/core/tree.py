@@ -676,9 +676,10 @@ def _insert_one(st: TreeState, x: jnp.ndarray, key: jax.Array,
     return _alloc_bookkeeping(st, dbuf, steps), leaf
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
 def insert_batch(st: TreeState, xs: jnp.ndarray, keys: jax.Array,
-                 n_valid: jnp.ndarray, cfg: TreeConfig):
+                 n_valid: jnp.ndarray, cfg: TreeConfig,
+                 max_steps: int = 48):
     """Insert a batch of instances sequentially, entirely on device.
 
     This replaces the reference's per-item Python loop
@@ -693,17 +694,24 @@ def insert_batch(st: TreeState, xs: jnp.ndarray, keys: jax.Array,
 
     def body(i, carry):
         st, leaves = carry
-        st, leaf = _insert_one(st, xs[i], keys[i], cfg)
+        st, leaf = _insert_one(st, xs[i], keys[i], cfg, max_steps=max_steps)
         return st, leaves.at[i].set(leaf)
 
     leaves0 = jnp.full((B,), NULL, jnp.int32)
     return jax.lax.fori_loop(0, jnp.minimum(n_valid, B), body, (st, leaves0))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+# Exact-path scan cap for over-deep descents (tight near-duplicate groups
+# build fringe chains far past the 48-step batch budget; a truncated
+# descent returns leaf=-1 and the sentence would silently vanish from
+# every index).  256 covers any plausible chain; callers raise if not.
+_EXACT_STEPS = 256
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
 def insert_one_jit(st: TreeState, x: jnp.ndarray, key: jax.Array,
-                   cfg: TreeConfig):
-    return _insert_one(st, x, key, cfg)
+                   cfg: TreeConfig, max_steps: int = 48):
+    return _insert_one(st, x, key, cfg, max_steps=max_steps)
 
 
 # ---------------------------------------------------------------------------
@@ -766,6 +774,12 @@ class CobwebTree:
         self._ensure_capacity(1)
         key = self._next_keys(1)[0]
         self.state, leaf = insert_one_jit(self.state, x, key, self.cfg)
+        if int(leaf) < 0:   # over-deep descent: retry with the exact cap
+            self.state, leaf = insert_one_jit(self.state, x, key, self.cfg,
+                                              max_steps=_EXACT_STEPS)
+            if int(leaf) < 0:
+                raise RuntimeError(
+                    f"insert descent exceeded {_EXACT_STEPS} steps")
         self.n_inserted += 1
         return int(leaf)
 
@@ -812,7 +826,20 @@ class CobwebTree:
                 self.state, jnp.asarray(chunk), keys,
                 jnp.asarray(n, jnp.int32), self.cfg,
             )
-            leaves[s:s + n] = np.asarray(lv)[:n]
+            got = np.array(np.asarray(lv)[:n])
+            deep = np.nonzero(got < 0)[0]
+            for j in deep:
+                # descent exceeded the batch budget (deep near-dup fringe
+                # chains): exact path with the _EXACT_STEPS cap — NEVER
+                # record -1 (the row would vanish from every index)
+                self.state, lf = insert_one_jit(
+                    self.state, jnp.asarray(chunk[j]), keys[j], self.cfg,
+                    max_steps=_EXACT_STEPS)
+                if int(lf) < 0:
+                    raise RuntimeError(
+                        f"insert descent exceeded {_EXACT_STEPS} steps")
+                got[j] = int(lf)
+            leaves[s:s + n] = got
         self.n_inserted += len(xs)
         return leaves
 

@@ -134,7 +134,15 @@ def vinsert_masked_round(st, xs: jnp.ndarray, keys: jax.Array,
     return _vinsert_round(st, xs, keys, cfg, mask=mask, max_steps=max_steps)
 
 
-_DEEP_STEPS = 48  # retry-wave scan budget (matches the exact path's cap)
+_DEEP_STEPS = 48  # retry-wave scan budget (covers ~all mature descents)
+# Exact-path scan cap.  MUST comfortably exceed any reachable descent
+# depth: content routing concentrates whole near-duplicate groups into
+# one lane, whose fringe chains produce descents FAR past _DEEP_STEPS
+# (measured: 100k hard corpus -> hundreds of >48-step descents; with the
+# old 48-step exact path those inserts silently returned leaf=-1 and the
+# sentences became unretrievable — the flat-index build then failed with
+# "sentences map to dead tree nodes").
+_EXACT_STEPS = 256
 
 
 @jax.jit
@@ -146,12 +154,14 @@ def _centroid_scores(q: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
             - 0.5 * jnp.sum(jnp.square(c), axis=1)[None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _insert_one_lane(st, lane, x, key, cfg: TreeConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
+def _insert_one_lane(st, lane, x, key, cfg: TreeConfig,
+                     max_steps: int = _EXACT_STEPS):
     """Exact-path insert of one instance into one lane of the stacked
     state (fallback for descents deeper than the scan budget)."""
     lane_st = jax.tree.map(lambda a: a[lane], st)
-    lane_st, leaf = tree_mod._insert_one(lane_st, x, key, cfg)
+    lane_st, leaf = tree_mod._insert_one(lane_st, x, key, cfg,
+                                         max_steps=max_steps)
     st = jax.tree.map(lambda a, v: a.at[lane].set(v), st, lane_st)
     return st, leaf
 
@@ -704,7 +714,10 @@ class VForest:
             self._deep_frac = 0.7 * self._deep_frac + 0.3 * (
                 n_deep / max(int(valid.sum()), 1))
             if self._deep_frac > 0.08 and self._budget < _DEEP_STEPS:
-                self._budget = {16: 24, 24: 32, 32: 48}[self._budget]
+                # escalate along the standard ladder; non-standard budgets
+                # (checkpoints, tests) jump straight to the wave budget
+                self._budget = {16: 24, 24: 32, 32: 48}.get(
+                    self._budget, _DEEP_STEPS)
             if not n_deep:
                 return
             keys_np = np.asarray(keys_kr)
@@ -731,13 +744,20 @@ class VForest:
             leaf2 = np.asarray(leaf2)
             rows, cols = np.nonzero(mask2 & (leaf2 >= 0))
             leaves[rows, src[rows, cols]] = leaf2[rows, cols]
-            # pathological >_DEEP_STEPS descents: exact path, one-off
+            # pathological >_DEEP_STEPS descents: exact path, one-off,
+            # with the _EXACT_STEPS cap (deep near-dup fringe chains)
             for s, c in np.argwhere(mask2 & (leaf2 < 0)):
                 self.state, lf = _insert_one_lane(
                     self.state, jnp.asarray(int(s), jnp.int32),
                     jnp.asarray(xs2[s, c]), jnp.asarray(keys2[s, c]),
                     self.cfg,
                 )
+                if int(lf) < 0:
+                    # never record -1: the sentence would silently become
+                    # unretrievable (and flat-index builds reject it)
+                    raise RuntimeError(
+                        f"insert descent exceeded _EXACT_STEPS="
+                        f"{_EXACT_STEPS} in lane {int(s)} — raise the cap")
                 leaves[s, src[s, c]] = int(lf)
 
         _mark("assemble")

@@ -187,3 +187,44 @@ def test_vmapped_insert_matches_sequential():
                 np.asarray(getattr(stacked, field)[lane]),
                 err_msg=f"lane {lane} field {field}",
             )
+
+
+def test_truncated_descent_escalates_to_exact_path():
+    """Descents the batch scan budget truncates must escalate to the
+    _EXACT_STEPS exact path instead of recording leaf=-1 (the round-3
+    dead-leaf bug: content routing concentrated near-duplicate groups
+    into descents deeper than 48 steps, the dropped rows vanished from
+    every index, and flat-index builds failed with 'sentences map to
+    dead tree nodes').  Forcing a tiny budget makes MOST descents
+    truncate, exercising the recovery on every tree shape."""
+    import rag_cobweb_tpu.core.tree as tm
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(scale=4.0, size=(6, 8))
+    xs = np.concatenate([
+        c + 0.2 * rng.normal(size=(30, 8)) for c in centers
+    ]).astype(np.float32)
+    cfg = TreeConfig(dim=8)
+    tree = CobwebTree(cfg, capacity=2048, seed=0)
+    orig = tm.insert_batch
+    calls = {"deep": 0}
+    orig_one = tm.insert_one_jit
+
+    def spy_one(*a, **kw):
+        if kw.get("max_steps", 48) > 48:
+            calls["deep"] += 1
+        return orig_one(*a, **kw)
+
+    tm.insert_batch = lambda st, x, k, n, c: orig(st, x, k, n, c,
+                                                  max_steps=2)
+    tm.insert_one_jit = spy_one
+    try:
+        leaves = tree.fit(xs)
+    finally:
+        tm.insert_batch = orig
+        tm.insert_one_jit = orig_one
+    assert calls["deep"] > 0, "escalation path never exercised"
+    assert (leaves >= 0).all(), np.nonzero(leaves < 0)[0]
+    st = tree._host_arrays()
+    assert (st.counts[leaves] >= 1).all()
+    assert int(st.counts[int(st.root)]) >= len(xs)

@@ -259,3 +259,36 @@ def test_host_structure_mirror_sync():
     ch2, pa2, _ = vf._sync_host_structure()
     np.testing.assert_array_equal(ch2, ch)
     np.testing.assert_array_equal(pa2, pa)
+
+
+def test_vforest_truncated_descents_recover_via_exact_path():
+    """Forest analog of the round-3 dead-leaf regression: shrink the
+    retry-wave budget so descents truncate, and assert every recorded
+    leaf is a live node (the exact path's _EXACT_STEPS cap must recover
+    them — silently recorded -1 leaves made sentences unretrievable and
+    broke the flat-index build)."""
+    import rag_cobweb_tpu.parallel.vforest as vfm
+    from rag_cobweb_tpu.parallel.vforest import VForest
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(scale=4.0, size=(6, 12))
+    xs = np.concatenate([
+        c + 0.2 * rng.normal(size=(40, 12)) for c in centers
+    ]).astype(np.float32)
+    vf = VForest(TreeConfig(dim=12), n_subtrees=4, capacity_per_tree=1024,
+                 seed=0, routing="content")
+    saved = vfm._DEEP_STEPS
+    vfm._DEEP_STEPS = 4          # waves truncate -> exact path recovers
+    try:
+        vf._budget = 2           # primary rounds truncate aggressively
+        vf.add(xs)
+    finally:
+        vfm._DEEP_STEPS = saved
+    import jax
+    st = jax.device_get(vf.state)
+    for lane in range(vf.K):
+        lv = np.asarray(vf._leaf_of_local[lane], np.int64)
+        if len(lv):
+            assert (lv >= 0).all(), (lane, np.nonzero(lv < 0)[0])
+            assert (st.counts[lane, lv] >= 1).all(), lane
+    vf.flat_index()              # must not raise 'dead tree nodes'
