@@ -94,6 +94,117 @@ def pallas_fits_vmem(bidx: BlockedIndex, n_queries: int,
     return pallas_vmem_estimate(bidx, n_queries, block_k) <= VMEM_BUDGET
 
 
+# --------------------------------------------------------------------------
+# v2: 2D grid (sentence blocks x query tiles).  The v1 kernel streamed all
+# NB blocks once per VMEM-sized query chunk, so a B=4096 batch re-read the
+# whole blocked index (1-5 GB) B/chunk times across separate dispatches.
+# Here the QUERY TILE is the fastest grid dimension: Pallas re-fetches an
+# input only when its block index changes, so each sentence block's
+# (M, D)/(M, TS) slabs stay resident in VMEM while every query tile visits
+# them — the index streams HBM exactly ONCE per batch, and the whole sweep
+# is one dispatch.
+# --------------------------------------------------------------------------
+
+def _kernel_v2(q_ref, q2_ref, ivt_ref, movt_ref, const_ref, w_ref,
+               valid_ref, out_s_ref, out_t_ref, *, k: int):
+    _kernel(q_ref, q2_ref, ivt_ref, movt_ref, const_ref, w_ref, valid_ref,
+            out_s_ref, out_t_ref, k=k)
+
+
+def _v2_tile(bidx: BlockedIndex, block_k: int) -> int:
+    """Largest power-of-two query tile whose scratch + resident block slabs
+    fit the VMEM budget (>= 64; 0 when even 64 doesn't fit)."""
+    NB, M, D = bidx.ivt_b.shape
+    TS = bidx.W.shape[2]
+    itemsize = bidx.ivt_b.dtype.itemsize
+    per_block = (2 * M * D + M * TS) * itemsize * 2   # dbl-buffered slabs
+    per_block += (M + TS) * 4 * 2
+    tb = 512
+    while tb >= 64:
+        scratch = 2 * tb * M * 4 + 3 * tb * TS * 4
+        resident = 2 * tb * D * 4 * 2                 # q, q^2 (dbl-buf)
+        outs = 2 * tb * block_k * 4 * 2
+        if per_block + scratch + resident + outs <= VMEM_BUDGET:
+            return tb
+        tb //= 2
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "block_k"))
+def pallas_blocked_topk_tiled(bidx: BlockedIndex, queries: jnp.ndarray,
+                              k: int, interpret: bool = False,
+                              block_k: int = 16):
+    """One-dispatch full-batch sweep: (B, D) -> (scores, sids) (B, k).
+
+    Grid (NB, B/TB) with the query tile innermost; per-block candidates
+    (``block_k`` max+mask rounds) merge via one approx/exact top-k.
+    """
+    NB, M, D = bidx.ivt_b.shape
+    TS = bidx.W.shape[2]
+    B = queries.shape[0]
+    kk = min(block_k or k, TS)
+    TB = _v2_tile(bidx, kk)
+    if TB == 0:
+        raise ValueError("no VMEM-fitting query tile")
+    BT = -(-B // TB)
+    Bp = BT * TB
+    if Bp != B:
+        queries = jnp.concatenate(
+            [queries, jnp.zeros((Bp - B, D), queries.dtype)])
+
+    q2 = jnp.square(queries)
+    const2d = bidx.const_b[:, None, :]                    # (NB, 1, M)
+    valid2d = bidx.valid[:, None, :].astype(jnp.float32)  # (NB, 1, TS)
+
+    out_s, out_t = pl.pallas_call(
+        functools.partial(_kernel_v2, k=kk),
+        grid=(NB, BT),
+        in_specs=[
+            pl.BlockSpec((TB, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, D), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, TS), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TS), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB, kk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, kk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NB, Bp, kk), jnp.float32),
+            jax.ShapeDtypeStruct((NB, Bp, kk), jnp.int32),
+        ],
+        interpret=interpret,
+    )(queries, q2, bidx.ivt_b, bidx.movt_b, const2d, bidx.W, valid2d)
+
+    cand_s = jnp.transpose(out_s, (1, 0, 2)).reshape(Bp, NB * kk)[:B]
+    cand_t = jnp.transpose(out_t, (1, 0, 2)).reshape(Bp, NB * kk)[:B]
+    block_of = jnp.repeat(jnp.arange(NB, dtype=jnp.int32), kk)[None, :]
+    kf = min(k, NB * kk)
+    if kf < NB * kk and not interpret:
+        # candidate POOL for the exact re-rank: approximate selection is
+        # free where the exact sort costs ~NB*kk*k compares per query
+        top, pos = jax.lax.approx_max_k(cand_s, kf, recall_target=0.95)
+    else:
+        top, pos = jax.lax.top_k(cand_s, kf)
+    slot = jnp.take_along_axis(cand_t, pos, axis=1)
+    blk = jnp.take_along_axis(jnp.broadcast_to(block_of, cand_t.shape),
+                              pos, axis=1)
+    sids = bidx.sid_of_slot[blk, slot]
+    return top, sids
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret", "block_k"))
 def pallas_blocked_topk(bidx: BlockedIndex, queries: jnp.ndarray, k: int,
                         interpret: bool = False, block_k: int = 0):

@@ -349,3 +349,21 @@ def test_beam_pack_truncated_budget_still_finds_points(built):
                                                cand_budget=16))
     hits = np.mean([b in sids[b] for b in range(6)])
     assert hits >= 0.5, f"truncated-budget beam collapsed: {hits}"
+
+
+def test_pallas_tiled_topk_interpret_matches(built):
+    """The one-dispatch 2D-grid sweep (blocks x query tiles) must agree
+    with the XLA blocked path; exercises the ragged-B padding and the
+    per-block candidate merge."""
+    from rag_cobweb_tpu.ops.pallas_query import pallas_blocked_topk_tiled
+
+    tree, idx, xs, leaves = built
+    bidx = index_mod.build_blocked_index(idx, block_size=32, node_pad=16)
+    q = jnp.asarray(xs[:7])          # ragged: not a multiple of the tile
+    want_s, want_ids = index_mod.blocked_query_topk(bidx, q, 5)
+    got_s, got_ids = pallas_blocked_topk_tiled(bidx, q, 5, interpret=True,
+                                               block_k=8)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-4, atol=1e-4)
+    for b in range(7):
+        assert set(np.asarray(got_ids)[b]) == set(np.asarray(want_ids)[b])
