@@ -173,31 +173,22 @@ def main():
                         f"{rep['roofline_frac']:.2f}x roofline)")
             print(msg, flush=True)
 
-        # THE PRODUCT PATH: wrapper dispatch (Pallas sweep chunked to VMEM
-        # + stored-embedding exact re-rank)
+        # THE PRODUCT PATH: wrapper dispatch — bf16 blocked sweep +
+        # approx candidate pool + stored-embedding EXACT re-rank
         run_eval("product_query_ids",
                  lambda qb, k: db.query_ids(qb, k, rerank=args.rerank),
-                 rl.model_for_blocked_index(bidx, args.batch, fused=True))
+                 rl.model_for_blocked_index(bidx, args.batch, fused=False))
 
-        # raw engine variants for the comparison table
-        def xla_blocked(qb, k):
+        # ablation: same bf16 sweep with the EXACT top-pool epilogue —
+        # shows what approx_max_k is worth at this scale
+        def bf16_exact_epilogue(qb, k):
             cs, cand = index_mod.blocked_query_topk(
                 bidx, jnp.asarray(qb), max(k, args.rerank))
             return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
 
-        run_eval("xla_blocked_rerank", xla_blocked,
+        run_eval("bf16_exact_epilogue_rerank", bf16_exact_epilogue,
                  rl.model_for_blocked_index(bidx, args.batch, fused=False))
-
-        # approximate candidate pool (TPU PartialReduce top-k): kills the
-        # exact top-512 epilogue, the sweep's dominant non-matmul cost
-        def xla_approx(qb, k):
-            cs, cand = index_mod.blocked_query_topk(
-                bidx, jnp.asarray(qb), max(k, args.rerank), approx=True,
-                recall_target=db.approx_recall_target)
-            return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
-
-        run_eval("xla_blocked_approx_rerank", xla_approx,
-                 rl.model_for_blocked_index(bidx, args.batch, fused=False))
+        del bf16_exact_epilogue
 
         if size <= 1_100_000:
             flat_base = FlatIndex(corpus_w[:size], metric="l2")
@@ -206,47 +197,26 @@ def main():
                      rl.exact_flat_model(args.batch, size, D))
             del flat_base
 
-        # bf16 sweep + exact re-rank: half the HBM traffic of the
-        # dominant term; built after the f32 evals (replacing the f32
-        # blocked index) to stay inside HBM at 1M.  The engine closures
-        # hold the f32 blocked index alive — drop them BEFORE building the
-        # bf16 replica (the f32 index is ~5.4 GB at 1M; keeping both OOMs
-        # the 16 GB chip next to the 2.4 GB forest state)
-        del xla_blocked, xla_approx
-        db._blocked = None
-        del bidx
-        # bf16 rows are comparison data, not the serving path (with the
-        # approx pool the f32 sweep wins: 0.129 vs 0.154 ms/q at 500k) —
-        # at 1M the bf16 build's f32 intermediate peaks past HBM next to
-        # the forest state, so degrade gracefully instead of aborting
+        # f32 comparison rows (the pre-bf16 serving formulation), built on
+        # demand and freed after; at 1M the f32 index is ~5.4 GB next to
+        # the bf16 one — degrade gracefully if HBM can't hold both
         try:
-            bidx16 = index_mod.build_blocked_index(flat, dtype=jnp.bfloat16)
-            db._blocked = bidx16
+            b32 = db._blocked_index(exact=True)
 
-            def bf16_rerank(qb, k):
+            def f32_approx(qb, k):
                 cs, cand = index_mod.blocked_query_topk(
-                    bidx16, jnp.asarray(qb), max(k, args.rerank))
+                    b32, jnp.asarray(qb), max(k, args.rerank), approx=True,
+                    recall_target=db.approx_recall_target)
                 return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
 
-            run_eval("xla_blocked_bf16_rerank", bf16_rerank,
-                     rl.model_for_blocked_index(bidx16, args.batch,
+            run_eval("xla_f32_approx_rerank", f32_approx,
+                     rl.model_for_blocked_index(b32, args.batch,
                                                 fused=False))
-
-            def bf16_approx(qb, k):
-                cs, cand = index_mod.blocked_query_topk(
-                    bidx16, jnp.asarray(qb), max(k, args.rerank),
-                    approx=True, recall_target=db.approx_recall_target)
-                return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
-
-            run_eval("xla_blocked_bf16_approx_rerank", bf16_approx,
-                     rl.model_for_blocked_index(bidx16, args.batch,
-                                                fused=False))
-            del bf16_rerank, bf16_approx
-        except Exception as e:  # HBM exhaustion at 1M: skip, keep results
-            print(f"[1m]   bf16 rows skipped ({type(e).__name__})",
+            del f32_approx, b32
+        except Exception as e:  # HBM exhaustion: skip, keep results
+            print(f"[1m]   f32 rows skipped ({type(e).__name__})",
                   flush=True)
-        db._blocked = None
-        bidx16 = None
+        db._blocked_f32 = None
         results.append(row)
         print(json.dumps(row), flush=True)
         if args.out:  # partial write per checkpoint (crash-safe)
