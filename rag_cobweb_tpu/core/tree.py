@@ -670,8 +670,14 @@ def _insert_one(st: TreeState, x: jnp.ndarray, key: jax.Array,
                 cfg: TreeConfig, max_steps: int = 48):
     """One full descent (reference ifit/cobweb): collect deltas against the
     frozen state, then replay them in order (batched last-writer-wins
-    scatter pass).  Returns (state, leaf_idx)."""
+    scatter pass).  Returns (state, leaf_idx).
+
+    A descent truncated by ``max_steps`` (leaf = -1) applies NOTHING —
+    same contract as the vmapped rounds — so the caller's deeper-budget
+    retry re-runs the whole insert without double-applying the partial
+    path updates."""
     dbuf, steps, leaf = _descend_collect(st, x, key, cfg, max_steps)
+    steps = jnp.where(leaf >= 0, steps, 0)
     st = _apply_dbuf_batched(st, dbuf, steps)
     return _alloc_bookkeeping(st, dbuf, steps), leaf
 

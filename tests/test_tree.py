@@ -227,4 +227,7 @@ def test_truncated_descent_escalates_to_exact_path():
     assert (leaves >= 0).all(), np.nonzero(leaves < 0)[0]
     st = tree._host_arrays()
     assert (st.counts[leaves] >= 1).all()
-    assert int(st.counts[int(st.root)]) >= len(xs)
+    # EXACT count conservation: a truncated descent must apply NOTHING
+    # (the escalated retry re-runs the whole insert) — a partial apply
+    # would double-count the walked path's ancestors
+    assert int(st.counts[int(st.root)]) == len(xs)
