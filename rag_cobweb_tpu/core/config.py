@@ -25,6 +25,18 @@ class TreeConfig:
     max_fanout: int = 16
     # `greedy` replicates COBWEB_GREEDY_MODE (src/utils/constants.py:1, default False).
     greedy: bool = False
+    # Depth-bounded leaf absorb (chain compaction), 0 = off (reference
+    # parity).  When > 0, a descent that reaches a LEAF at depth >=
+    # absorb_depth absorbs the instance into that leaf's statistics
+    # (generalizing the reference's exact-match absorb,
+    # CobwebTorchTree.py:184-188) instead of fringe-splitting.  This bounds
+    # tree depth: tight near-duplicate groups otherwise build one-leaf-per-
+    # duplicate fringe CHAINS (measured depth 96+ under content routing on
+    # the hard corpus) whose descents blow every scan budget and whose
+    # paths degrade the blocked engine's candidate pools.  Sentences
+    # absorbed into a shared leaf stay individually retrievable through the
+    # leaf sentence runs + the exact stored-embedding re-rank.
+    absorb_depth: int = 0
 
     def __post_init__(self):
         if self.dim <= 0:
@@ -41,6 +53,7 @@ class TreeConfig:
             "alpha": self.alpha,
             "prior_var": float(self.prior_var),
             "max_fanout": self.max_fanout,
+            "absorb_depth": self.absorb_depth,
         }
 
     @classmethod
@@ -55,4 +68,5 @@ class TreeConfig:
             prior_var=float(d.get("prior_var", 1.0 / (2.0 * math.e * math.pi))),
             alpha=float(d.get("alpha", 1e-8)),
             max_fanout=int(d.get("max_fanout", 16)),
+            absorb_depth=int(d.get("absorb_depth", 0)),
         )

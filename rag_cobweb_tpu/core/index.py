@@ -194,16 +194,16 @@ def build_flat_forest_index(
         m2s_f = st.m2s.reshape(K * cap, -1)
     else:
         counts_f = means_f = m2s_f = None
-    # sentence_order must group leaves LANE-MAJOR: the multi-root BFS
-    # numbers nodes level-interleaved across lanes, so ordering by compact
-    # id would make every ~512-sentence block of the blocked index span
-    # many subtrees — the per-block unique-node count (and with it the
-    # padded M of ALL blocks) explodes.
+    # sentence_order must group leaves LANE-MAJOR and subtree-contiguous:
+    # the multi-root BFS numbers nodes level-interleaved across lanes, so
+    # ordering by compact id would make every ~512-sentence block of the
+    # blocked index span many subtrees — the per-block unique-node count
+    # (and with it the padded M of ALL blocks) explodes.  The DFS
+    # (lexicographic-path) layout in _build_index_from_arrays handles both.
     return _build_index_from_arrays(
         cfg, children, parent, counts_f, means_f, m2s_f,
         roots, leaf_of_sentence_global, level_weights, pad_depth_to,
         as_numpy,
-        lane_of_sentence=np.asarray(leaf_of_sentence_global) // cap,
         device_stats=device_stats,
     )
 
@@ -277,19 +277,33 @@ def _derive_paths_device(parent_compact, leaf_compact, P: int, lw):
     return paths, weights, plen
 
 
+# lexicographic-path sort depth for the DEVICE layout: successive stable
+# argsorts cost one (S,) sort + gather per column, so the device path
+# truncates to the first 12 path levels (the host numpy lexsort uses all).
+# Sentences differing only below level 12 share a depth-12 subtree — the
+# lex prefix already keeps that whole subtree contiguous, so truncation
+# cannot spread a block across distant subtrees; the leaf-id pre-pass
+# keeps same-leaf runs contiguous regardless.
+_LEX_DEPTH = 12
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad",))
-def _leaf_layout_device(leaf_compact, lane, n_pad: int):
-    """Device-side leaf run-length layout: stable-argsort sentences by
-    leaf then by lane (two int32 passes — a combined lane*N+leaf key
-    overflows int32 at forest scale, and x64 is disabled), then scatter
-    first-position/count per leaf.  Padding rows (leaf < 0) sort to the
-    end.  Returns (sentence_order (S,), leaf_start (n_pad,), leaf_count)."""
+def _leaf_layout_device(leaf_compact, paths, n_pad: int):
+    """Device-side leaf run-length layout in DFS (lexicographic root->leaf
+    path) order — see the host branch in ``_build_index_from_arrays`` for
+    why lex order minimizes the blocked index's per-block node count.
+    Implemented as successive stable argsorts from the least-significant
+    path column up (radix style; a packed key overflows int32 at forest
+    scale and x64 is disabled).  Padding rows (leaf < 0) sort to the end.
+    Returns (sentence_order (S,), leaf_start (n_pad,), leaf_count)."""
     BIG = jnp.int32(np.iinfo(np.int32).max)
-    leaf_key = jnp.where(leaf_compact >= 0, leaf_compact, BIG)
-    lane_key = jnp.where(leaf_compact >= 0, lane, BIG)
-    o1 = jnp.argsort(leaf_key, stable=True).astype(jnp.int32)
-    o2 = jnp.argsort(lane_key[o1], stable=True).astype(jnp.int32)
-    order = o1[o2]
+    valid = leaf_compact >= 0
+    leaf_key = jnp.where(valid, leaf_compact, BIG)
+    order = jnp.argsort(leaf_key, stable=True).astype(jnp.int32)
+    P = paths.shape[1]
+    for p in range(min(P, _LEX_DEPTH) - 1, -1, -1):
+        key = jnp.where(valid, paths[:, p], BIG)
+        order = order[jnp.argsort(key[order], stable=True).astype(jnp.int32)]
     sorted_leaves = leaf_compact[order]                  # (S,) -1 = pad
     S = order.shape[0]
     safe = jnp.where(sorted_leaves >= 0, sorted_leaves, n_pad)
@@ -313,13 +327,12 @@ def _build_index_from_arrays(
     level_weights: Sequence[float] = DEFAULT_LEVEL_WEIGHTS,
     pad_depth_to: int = 4,
     as_numpy: bool = False,
-    lane_of_sentence: Optional[np.ndarray] = None,
     device_stats=None,
 ) -> PredictionIndex:
     """Shared core of ``build_index`` / ``build_flat_forest_index``: BFS
     numbering (from one root or K forest roots), vectorized parent-chase
-    paths, stats compaction.  ``lane_of_sentence`` (forest builds) makes
-    the leaf grouping lane-major, subtree-contiguous within each lane.
+    paths, stats compaction.  Sentence layout is DFS (lexicographic path)
+    order — lane-major and subtree-contiguous by construction.
     ``device_stats`` = (counts, means, m2s) device arrays: stats never
     leave HBM (``_compact_stats_device``); only structure comes to host."""
     # --- BFS over live nodes -> compact numbering -------------------------
@@ -363,11 +376,6 @@ def _build_index_from_arrays(
     lw[: min(len(level_weights), P)] = np.asarray(
         list(level_weights)[:P], np.float32
     )
-    if lane_of_sentence is not None:
-        sort_key_h = (lane_of_sentence.astype(np.int64) * (n_live + 1)
-                      + leaf_compact)
-    else:
-        sort_key_h = leaf_compact.astype(np.int64)
 
     device_struct = device_stats is not None and not as_numpy
     if device_struct:
@@ -381,14 +389,11 @@ def _build_index_from_arrays(
         S_pad = -(-max(S, 1) // _SENT_BUCKET) * _SENT_BUCKET
         leaf_pad = np.full((S_pad,), -1, np.int32)
         leaf_pad[:S] = leaf_compact
-        lane_pad = np.zeros((S_pad,), np.int32)
-        if lane_of_sentence is not None:
-            lane_pad[:S] = lane_of_sentence.astype(np.int32)
         paths_d, weights_d, _ = _derive_paths_device(
             jnp.asarray(parent_compact), jnp.asarray(leaf_pad), P,
             jnp.asarray(lw))
         order_d, start_d, count_d = _leaf_layout_device(
-            jnp.asarray(leaf_pad), jnp.asarray(lane_pad), n_pad)
+            jnp.asarray(leaf_pad), paths_d, n_pad)
         paths = paths_d[:S]
         weights = weights_d[:S]
         sent_order = order_d[:S]
@@ -416,7 +421,17 @@ def _build_index_from_arrays(
         _pt.lap("paths+weights")
 
         # --- sentence run-length layout per leaf (for beam search) --------
-        sent_order = np.argsort(sort_key_h, kind="stable").astype(np.int32)
+        # DFS (lexicographic root->leaf path) order: same-leaf sentences
+        # stay contiguous (identical paths) AND whole subtrees stay
+        # contiguous at every depth — unlike compact-id order, which is
+        # BFS/level-major and interleaves subtrees within a level, the lex
+        # order minimizes the per-block unique-node count M of the blocked
+        # index (measured at 100k/16 lanes: max M 843 -> 730, mean 767 ->
+        # 704), which multiplies both the sweep's stats-GEMM FLOPs and its
+        # HBM bytes.  Lane-majority is automatic (paths[:, 0] = lane root).
+        sent_order = np.lexsort(
+            tuple(paths[:, p] for p in range(P - 1, -1, -1))
+        ).astype(np.int32)
         sorted_leaves = leaf_compact[sent_order]
         leaf_start = np.full((n_live,), -1, np.int32)
         leaf_count = np.zeros((n_live,), np.int32)

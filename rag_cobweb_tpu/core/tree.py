@@ -237,9 +237,11 @@ class _NextView(NamedTuple):
 
 
 def _decide_leaf(view: _View, x, slots, cfg: TreeConfig,
-                 fanout: int):
+                 fanout: int, depth=None):
     """Leaf: exact-match/empty absorb, else fringe split (reference
-    CobwebTorchTree.py:184-204)."""
+    CobwebTorchTree.py:184-204).  With ``cfg.absorb_depth`` > 0, a leaf
+    reached at ``depth`` >= that bound also absorbs (chain compaction —
+    see TreeConfig.absorb_depth)."""
     F, dim = fanout, x.shape[0]
     cur = view.cur
     count = view.stats.count
@@ -249,6 +251,8 @@ def _decide_leaf(view: _View, x, slots, cfg: TreeConfig,
         & jnp.all(jnp.isclose(std, 0.0, rtol=1e-5, atol=1e-8)) \
         & jnp.all(jnp.isclose(x, view.stats.mean, rtol=1e-5, atol=1e-8))
     absorb = exact | (count == 0.0)
+    if cfg.absorb_depth and depth is not None:  # static config branch
+        absorb = absorb | ((count > 0) & (depth >= cfg.absorb_depth))
     d = _empty_delta(cur, dim, F)
 
     inc = welford_insert(view.stats, x)      # absorb == fringe p_new math
@@ -484,7 +488,7 @@ def _descend_step(st: TreeState, c, x, key, cfg: TreeConfig):
     # compute BOTH cases and select the small outputs: a lax.cond with a
     # (vmapped) batched predicate would broadcast every closed-over
     # constant — including the full state arrays — to one copy per lane
-    d_leaf, nv_leaf = _decide_leaf(c.view, x, slots, cfg, F)
+    d_leaf, nv_leaf = _decide_leaf(c.view, x, slots, cfg, F, depth=c.steps)
     d_int, nv_int = _decide_internal(st, c.view, x, slots, step_key, cfg)
 
     def pick(a, b):

@@ -82,6 +82,9 @@ class CobwebIndex:
                 capacity_per_tree=max(1024, cap // self.n_subtrees),
                 seed=seed, routing=routing,
             )
+            # the forest may have applied routing-driven config defaults
+            # (content routing enables absorb_depth chain compaction)
+            self.cfg = self.forest.cfg
         else:
             self.forest = None
             self.tree = CobwebTree(self.cfg, capacity=cap, seed=seed)
@@ -544,6 +547,16 @@ class CobwebIndex:
             return self._rerank_step(fidx, q, cand, cs, kk)
         return _vforest_query(fidx, q, kk)
 
+    def _auto_rerank(self) -> int:
+        """Default re-rank pool: on above ``rerank_threshold`` sentences —
+        and at EVERY size when ``cfg.absorb_depth`` is set (chain compaction
+        merges near-duplicate groups into shared leaves whose path scores
+        tie; the exact stored-embedding re-rank is what orders them)."""
+        if self.cfg.absorb_depth:
+            return self.rerank_candidates
+        return (self.rerank_candidates
+                if len(self.sentences) >= self.rerank_threshold else 0)
+
     def query_ids(self, queries, k: int, rerank: Optional[int] = None):
         """Batched serving API: (B, D) embeddings -> (B, k) sentence-id
         DEVICE array, routed through the same engine dispatch as
@@ -560,8 +573,7 @@ class CobwebIndex:
         if self._unindexed_count() and rerank == 0:
             self._flush_pending()   # explicit rerank=0 = path-score order
         if rerank is None:
-            rerank = (self.rerank_candidates
-                      if len(self.sentences) >= self.rerank_threshold else 0)
+            rerank = self._auto_rerank()
         if not self._unindexed_count():
             return self._engine_topk(q, kk, rerank, tie_noise=False)[1]
         # stale-serve: indexed candidates + exact closed-form pending/delta
@@ -607,8 +619,7 @@ class CobwebIndex:
             # would silently override — flush instead of changing semantics.
             self._flush_pending()
         if rerank is None:
-            rerank = (self.rerank_candidates
-                      if len(self.sentences) >= self.rerank_threshold else 0)
+            rerank = self._auto_rerank()
         if self._unindexed_count():
             # stale-index serve: rerank scores are the exact closed form —
             # the same scale the pending/delta pools produce, so the merge

@@ -30,7 +30,7 @@ def _kernel(q_ref, q2_ref, ivt_ref, movt_ref, const_ref, w_ref, valid_ref,
             out_s_ref, out_t_ref, *, k: int):
     """One sentence block: scores = ((q @ movt^T) - 0.5 (q^2 @ ivt^T) + c) @ W,
     then k rounds of max-extraction."""
-    q = q_ref[:]                       # (B, D)
+    q = q_ref[:]                       # (B, D) — pre-cast to the slab dtype
     q2 = q2_ref[:]
     movt = movt_ref[0]                 # (M, D)
     ivt = ivt_ref[0]
@@ -39,16 +39,23 @@ def _kernel(q_ref, q2_ref, ivt_ref, movt_ref, const_ref, w_ref, valid_ref,
     valid = valid_ref[0]               # (1, TS)
 
     dn = (((1,), (1,)), ((), ()))      # contract D with D
-    hi = jax.lax.Precision.HIGHEST      # keep f32 on the MXU (default bf16
-    #                                     shifts scores enough to flip top-k)
-    nlp = jax.lax.dot_general(q, movt, dn, precision=hi,
+    # f32 slabs: HIGHEST keeps f32 on the MXU (default bf16 shifts scores
+    # enough to flip top-k ties).  bf16 slabs: one-pass MXU contraction
+    # with f32 accumulation — HIGHEST here would force the 6-pass f32
+    # emulation and throw away the bf16 serving index's entire speedup
+    # (the approx pool + exact re-rank downstream make the sweep's bf16
+    # jitter harmless, same contract as core/index.blocked_scores).
+    f32 = movt.dtype == jnp.float32
+    prec = (jax.lax.Precision.HIGHEST if f32
+            else jax.lax.Precision.DEFAULT)
+    nlp = jax.lax.dot_general(q, movt, dn, precision=prec,
                               preferred_element_type=jnp.float32)
     nlp = nlp - 0.5 * jax.lax.dot_general(
-        q2, ivt, dn, precision=hi, preferred_element_type=jnp.float32
+        q2, ivt, dn, precision=prec, preferred_element_type=jnp.float32
     )
-    nlp = nlp + const                   # (B, M)
+    nlp = nlp + const                   # (B, M) f32
 
-    scores = jnp.dot(nlp, w, precision=hi,
+    scores = jnp.dot(nlp.astype(w.dtype), w, precision=prec,
                      preferred_element_type=jnp.float32)  # (B, TS)
     scores = jnp.where(valid > 0, scores, NEG)
 
@@ -83,7 +90,7 @@ def pallas_vmem_estimate(bidx: BlockedIndex, n_queries: int,
     itemsize = bidx.ivt_b.dtype.itemsize
     per_block = (2 * M * D + M * TS) * itemsize * 2  # dbl-buffered streams
     per_block += (M + TS) * 4 * 2
-    resident = 2 * B * D * 4                          # q, q^2
+    resident = 2 * B * D * itemsize                   # q, q^2 (slab dtype)
     scratch = 2 * B * M * 4 + 3 * B * TS * 4          # nlp x2, scores x3
     outs = 2 * B * block_k * 4 * 2                    # dbl-buffered outputs
     return per_block + resident + scratch + outs
@@ -122,7 +129,7 @@ def _v2_tile(bidx: BlockedIndex, block_k: int) -> int:
     tb = 512
     while tb >= 64:
         scratch = 2 * tb * M * 4 + 3 * tb * TS * 4
-        resident = 2 * tb * D * 4 * 2                 # q, q^2 (dbl-buf)
+        resident = 2 * tb * D * itemsize * 2          # q, q^2 (dbl-buf)
         outs = 2 * tb * block_k * 4 * 2
         if per_block + scratch + resident + outs <= VMEM_BUDGET:
             return tb
@@ -152,7 +159,10 @@ def pallas_blocked_topk_tiled(bidx: BlockedIndex, queries: jnp.ndarray,
         queries = jnp.concatenate(
             [queries, jnp.zeros((Bp - B, D), queries.dtype)])
 
-    q2 = jnp.square(queries)
+    # squares in f32, then ONE cast to the slab dtype (the kernel's dots
+    # contract bf16 x bf16 one-pass with f32 accumulation)
+    q2 = jnp.square(queries).astype(bidx.ivt_b.dtype)
+    queries = queries.astype(bidx.ivt_b.dtype)
     const2d = bidx.const_b[:, None, :]                    # (NB, 1, M)
     valid2d = bidx.valid[:, None, :].astype(jnp.float32)  # (NB, 1, TS)
 
@@ -220,7 +230,8 @@ def pallas_blocked_topk(bidx: BlockedIndex, queries: jnp.ndarray, k: int,
     B = queries.shape[0]
     kk = min(block_k or k, TS)
 
-    q2 = jnp.square(queries)
+    q2 = jnp.square(queries).astype(bidx.ivt_b.dtype)
+    queries = queries.astype(bidx.ivt_b.dtype)
     const2d = bidx.const_b[:, None, :]            # (NB, 1, M)
     valid2d = bidx.valid[:, None, :].astype(jnp.float32)  # (NB, 1, TS)
 

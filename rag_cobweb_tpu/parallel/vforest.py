@@ -326,6 +326,15 @@ class VForest:
         """
         if routing not in ("round_robin", "content"):
             raise ValueError(f"unknown routing {routing!r}")
+        if routing == "content" and cfg.absorb_depth == 0:
+            # Content routing concentrates whole near-duplicate groups in
+            # one lane, whose fringe chains reach depth 96+ on the hard
+            # corpus (RESULTS.md): beam cost explodes and descents blow
+            # every scan budget.  Depth-bounded leaf absorb (chain
+            # compaction, TreeConfig.absorb_depth) bounds the damage;
+            # pass an explicit absorb_depth to override the default.
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, absorb_depth=24)
         self.cfg = cfg
         self.K = n_subtrees
         self.routing = routing

@@ -280,10 +280,9 @@ def test_device_struct_parity_with_host():
     np.testing.assert_allclose(np.asarray(weights_d)[:S],
                                np.asarray(idx.path_weights), rtol=1e-6)
 
-    lane_pad = np.zeros((Sb,), np.int32)
     n_pad = 1024
     order_d, start_d, count_d = index_mod._leaf_layout_device(
-        jnp.asarray(leaf_pad), jnp.asarray(lane_pad), n_pad)
+        jnp.asarray(leaf_pad), paths_d, n_pad)
     # same leaf grouping (order may tie-break differently; compare groups)
     got_leaves = leaf_compact[np.asarray(order_d)[:S]]
     want_leaves = leaf_compact[np.asarray(idx.sentence_order)]
