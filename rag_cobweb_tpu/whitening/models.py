@@ -96,6 +96,7 @@ class PCAICAWhiteningModel:
     def transform_jit(self, x):
         """Fused single-matmul device transform: precomposes
         center->project->scale->unmix into one (d_in, d_out) matrix."""
+        import jax
         import jax.numpy as jnp
 
         if self._jax_cache is None:
@@ -105,7 +106,10 @@ class PCAICAWhiteningModel:
             self._jax_cache = (jnp.asarray(M, jnp.float32),
                               jnp.asarray(b, jnp.float32))
         M, b = self._jax_cache
-        return jnp.asarray(x) @ M + b
+        # HIGHEST: the TPU default (bf16 accumulate) drifts ~1e-2 per
+        # element, visible as top-k tie flips downstream in scoring
+        return jnp.matmul(jnp.asarray(x), M,
+                          precision=jax.lax.Precision.HIGHEST) + b
 
     @classmethod
     def fit(cls, X, pca_dim=256, eps: float = 1e-8,
@@ -174,6 +178,22 @@ class PCAZCAWhiteningModel:
         out = ((x - self.mean) @ zca).astype(np.float32)
         return out[0] if single else out
 
+    def transform_jit(self, x):
+        """Fused affine device transform (see PCAICAWhiteningModel)."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(self, "_jax_cache", None) is None:
+            scale = 1.0 / np.sqrt(self.pca_explained_var + self.eps)
+            M = (self.pca_components.T * scale[None, :]) @ self.pca_components
+            self._jax_cache = (jnp.asarray(M, jnp.float32),
+                               jnp.asarray(-(self.mean @ M), jnp.float32))
+        M, b = self._jax_cache
+        # HIGHEST: the TPU default (bf16 accumulate) drifts ~1e-2 per
+        # element, visible as top-k tie flips downstream in scoring
+        return jnp.matmul(jnp.asarray(x), M,
+                          precision=jax.lax.Precision.HIGHEST) + b
+
     @classmethod
     def fit(cls, X, pca_dim=256, eps: float = 1e-8):
         mean, components, explained_var = _pca_fit(X, pca_dim)
@@ -208,6 +228,21 @@ class ZCAWhiteningModel:
         x, single = _maybe_single(x)
         out = ((x - self.mean) @ self.whitening_matrix.T).astype(np.float32)
         return out[0] if single else out
+
+    def transform_jit(self, x):
+        """Fused affine device transform (see PCAICAWhiteningModel)."""
+        import jax
+        import jax.numpy as jnp
+
+        if getattr(self, "_jax_cache", None) is None:
+            M = self.whitening_matrix.T
+            self._jax_cache = (jnp.asarray(M, jnp.float32),
+                               jnp.asarray(-(self.mean @ M), jnp.float32))
+        M, b = self._jax_cache
+        # HIGHEST: the TPU default (bf16 accumulate) drifts ~1e-2 per
+        # element, visible as top-k tie flips downstream in scoring
+        return jnp.matmul(jnp.asarray(x), M,
+                          precision=jax.lax.Precision.HIGHEST) + b
 
     @classmethod
     def fit(cls, X, eps: float = 1e-8):

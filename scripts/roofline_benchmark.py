@@ -122,6 +122,17 @@ def main():
         rows.append(dict(rl.model_for_blocked_index(bidx, B, fused=False)
                          .report(ms, B), sync_ms=round(sync_ms, 3)))
 
+        try:
+            ms, sync_ms, _ = timed(lambda qq: pq.pallas_blocked_topk_tiled(
+                bidx, qq, args.rerank, interpret=not on_tpu,
+                block_k=db.pallas_block_k), q)
+            r = dict(rl.model_for_blocked_index(bidx, B, fused=True)
+                     .report(ms, B), sync_ms=round(sync_ms, 3))
+            r["engine"] = "pallas_fused_tiled"
+            rows.append(r)
+        except ValueError as e:
+            log(f"[roofline] tiled pallas skipped at B={B}: {e}")
+
         if pq.pallas_fits_vmem(bidx, B, db.pallas_block_k):
             ms, sync_ms, _ = timed(lambda qq: pq.pallas_blocked_topk(
                 bidx, qq, max(args.k, args.rerank),
