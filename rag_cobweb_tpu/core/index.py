@@ -999,6 +999,129 @@ def blocked_query_topk_rerank(bidx: BlockedIndex, index: PredictionIndex,
 
 
 # ---------------------------------------------------------------------------
+# fused flat scoring — the corpus sweep as ONE (B, 2D) @ (2D, S) GEMM
+# ---------------------------------------------------------------------------
+
+class FusedIndex(NamedTuple):
+    """Pre-associated per-sentence score coefficients.
+
+    The path score is linear in the per-node log-prob terms, so the W
+    contraction of the blocked form can be associated INTO the index:
+
+        score[b, t] = sum_m nlp[b, m] W[m, t]
+                    = q_b . A_t  -  0.5 q_b^2 . B_t  +  c_t
+        A_t = sum_p w[t,p] * mu_over_var[paths[t,p]]
+        B_t = sum_p w[t,p] * inv_var[paths[t,p]]
+        c_t = sum_p w[t,p] * const[paths[t,p]]
+
+    Stacking ``GT = [A | -0.5 B]^T`` (2D, S) turns the whole corpus sweep
+    into one ``[q, q^2] @ GT`` matmul + bias — the same shape as the exact
+    flat baseline (bench/baselines.py) but ranking by the COBWEB path
+    score.  vs the blocked sweep (three batched einsums over (NB, M, ·)
+    replicas): ~4.5x fewer FLOPs, ~4.5x less HBM per sweep, ~5x smaller
+    index, and none of the block/node-replication build machinery.
+    Scores are identical in exact arithmetic (only associativity moved),
+    so it feeds the same approx-pool + exact re-rank pipeline.
+
+    Row t IS sentence id t (no leaf ordering needed — there is no block
+    locality to engineer).  Serving dtype bf16 pairs with the exact
+    stored-embedding re-rank exactly like the bf16 blocked index.
+    """
+
+    GT: jnp.ndarray     # (2D, Sp) [A | -0.5 B]^T, serving dtype
+    c: jnp.ndarray      # (Sp,) f32 bias, 0 on padding rows
+    valid: jnp.ndarray  # (Sp,) bool — False on padding rows
+
+    @property
+    def num_slots(self) -> int:
+        return self.c.shape[0]
+
+
+_FUSED_ROW_BUCKET = 2048  # row-padding quantum (shape reuse across builds)
+
+
+@functools.partial(jax.jit, static_argnames=("Sp", "dtype"))
+def _build_fused_device(paths, weights, inv_T, mov_T, const,
+                        Sp: int, dtype: str):
+    """Accumulate the per-sentence coefficients with one (S,)-row gather
+    per path hop (P is small; rows are gather-rate cheap next to the
+    blocked build's batched-unique + W scatter).  f32 accumulation, cast
+    to the serving dtype at the end."""
+    S, P = paths.shape
+    D = inv_T.shape[0]
+    movt = mov_T.T                                     # (N, D)
+    ivt = inv_T.T
+
+    def hop(p, acc):
+        A, Bm, c = acc
+        ids = jax.lax.dynamic_index_in_dim(paths, p, axis=1, keepdims=False)
+        w = jax.lax.dynamic_index_in_dim(weights, p, axis=1, keepdims=False)
+        ok = ids >= 0
+        safe = jnp.maximum(ids, 0)
+        wm = jnp.where(ok, w, 0.0)
+        A = A + wm[:, None] * movt[safe]
+        Bm = Bm + wm[:, None] * ivt[safe]
+        c = c + wm * const[safe]
+        return A, Bm, c
+
+    A, Bm, c = jax.lax.fori_loop(
+        0, P, hop,
+        (jnp.zeros((S, D), jnp.float32), jnp.zeros((S, D), jnp.float32),
+         jnp.zeros((S,), jnp.float32)))
+    G = jnp.concatenate([A, -0.5 * Bm], axis=1)        # (S, 2D)
+    GT = jnp.zeros((2 * D, Sp), jnp.dtype(dtype)).at[:, :S].set(
+        G.T.astype(jnp.dtype(dtype)))
+    cp = jnp.zeros((Sp,), jnp.float32).at[:S].set(c)
+    valid = jnp.arange(Sp, dtype=jnp.int32) < S
+    return GT, cp, valid
+
+
+def build_fused_index(index: PredictionIndex,
+                      dtype=jnp.float32) -> FusedIndex:
+    """Derive the fused form from a built PredictionIndex — one jitted
+    device pass over the path hops; no host structure work at all."""
+    S = index.paths.shape[0]
+    Sp = -(-max(S, 1) // _FUSED_ROW_BUCKET) * _FUSED_ROW_BUCKET
+    GT, c, valid = _build_fused_device(
+        jnp.asarray(index.paths), jnp.asarray(index.path_weights),
+        jnp.asarray(index.inv_var_T), jnp.asarray(index.mu_over_var_T),
+        jnp.asarray(index.const), Sp, jnp.dtype(dtype).name)
+    return FusedIndex(GT=GT, c=c, valid=valid)
+
+
+def fused_scores(fidx: FusedIndex, queries: jnp.ndarray) -> jnp.ndarray:
+    """(B, D) -> (B, Sp) path scores via one GEMM.  f32 indexes contract
+    at HIGHEST precision (exact path-score ORDER contract); bf16 indexes
+    contract natively with f32 accumulation — the approximate sweep the
+    downstream exact re-rank makes exact."""
+    lo = fidx.GT.dtype != jnp.float32
+    prec = jax.lax.Precision.DEFAULT if lo else jax.lax.Precision.HIGHEST
+    q = queries.astype(jnp.float32)
+    qq = jnp.concatenate([q, jnp.square(q)], axis=1).astype(fidx.GT.dtype)
+    s = jnp.matmul(qq, fidx.GT, precision=prec,
+                   preferred_element_type=jnp.float32) + fidx.c[None, :]
+    return jnp.where(fidx.valid[None, :], s, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "approx", "recall_target"))
+def fused_query_topk(fidx: FusedIndex, queries: jnp.ndarray, k: int,
+                     approx: bool = False, recall_target: float = 0.95):
+    """Batched top-k over the fused scores -> (scores, sentence ids).
+    Positions ARE sentence ids (identity row order); ``approx`` selects
+    the candidate pool with ``jax.lax.approx_max_k`` (see
+    ``blocked_query_topk`` for when that is the right trade)."""
+    scores = fused_scores(fidx, queries)
+    Sp = scores.shape[1]
+    k = min(k, Sp)
+    if approx and k < Sp:
+        top, pos = jax.lax.approx_max_k(scores, k,
+                                        recall_target=recall_target)
+    else:
+        top, pos = jax.lax.top_k(scores, k)
+    return top, pos
+
+
+# ---------------------------------------------------------------------------
 # beam-search query (reference best-first tree search, batched)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,126 @@
+"""Fused flat scoring (core/index.FusedIndex): the W contraction
+pre-associated into per-sentence coefficients so the corpus sweep is ONE
+[q, q^2] @ (2D, S) GEMM.  Scores must equal the gather path's (same math,
+re-associated), and the wrapper must serve it by default above
+``blocked_threshold``."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rag_cobweb_tpu.core.config import TreeConfig
+from rag_cobweb_tpu.core.tree import CobwebTree
+from rag_cobweb_tpu.core import index as index_mod
+from rag_cobweb_tpu.core.wrapper import CobwebIndex
+
+
+def clustered(rng, n_clusters=6, per=15, dim=16, spread=0.25):
+    centers = rng.normal(scale=3.0, size=(n_clusters, dim))
+    xs = np.concatenate(
+        [c + spread * rng.normal(size=(per, dim)) for c in centers]
+    ).astype(np.float32)
+    return xs[rng.permutation(len(xs))]
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(0)
+    xs = clustered(rng)
+    tree = CobwebTree(TreeConfig(dim=16), capacity=1024, seed=0)
+    leaves = tree.fit(xs)
+    idx = index_mod.build_index(tree, leaves)
+    return tree, idx, xs, leaves
+
+
+def test_fused_scores_match_rank_scores(built):
+    tree, idx, xs, leaves = built
+    fidx = index_mod.build_fused_index(idx)
+    q = jnp.asarray(xs[:5])
+    want = np.asarray(index_mod.rank_scores(idx, q))       # (B, S)
+    got = np.asarray(index_mod.fused_scores(fidx, q))      # (B, Sp)
+    S = want.shape[1]
+    valid = np.asarray(fidx.valid)
+    assert valid[:S].all() and not valid[S:].any()
+    np.testing.assert_allclose(got[:, :S], want, rtol=1e-3, atol=1e-2)
+    assert np.all(got[:, S:] == -np.inf)
+
+
+def test_fused_query_topk_agrees(built):
+    tree, idx, xs, leaves = built
+    fidx = index_mod.build_fused_index(idx)
+    q = jnp.asarray(xs[:8])
+    _, want = index_mod.query_topk(idx, q, 5)
+    _, got = index_mod.fused_query_topk(fidx, q, 5)
+    for b in range(8):   # same top-5 sets (near-tie order may differ)
+        assert set(np.asarray(got)[b]) == set(np.asarray(want)[b])
+
+
+def test_fused_matches_blocked_scores(built):
+    """Fused and blocked are the same contraction associated differently —
+    per-sentence scores must agree to f32 roundoff."""
+    tree, idx, xs, leaves = built
+    fidx = index_mod.build_fused_index(idx)
+    bidx = index_mod.build_blocked_index(idx, block_size=16, node_pad=8)
+    q = jnp.asarray(xs[:5])
+    fs = np.asarray(index_mod.fused_scores(fidx, q))
+    bs = np.asarray(index_mod.blocked_scores(bidx, q))
+    sid = np.asarray(bidx.sid_of_slot)
+    valid = np.asarray(bidx.valid)
+    nb_i, t_i = np.nonzero(valid)
+    np.testing.assert_allclose(bs[:, nb_i, t_i], fs[:, sid[nb_i, t_i]],
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_fused_bf16_pool_plus_exact_rerank(built):
+    """bf16 fused sweep -> candidate pool -> exact re-rank retrieves each
+    point for itself (the serving configuration)."""
+    tree, idx, xs, leaves = built
+    f16 = index_mod.build_fused_index(idx, dtype=jnp.bfloat16)
+    assert f16.GT.dtype == jnp.bfloat16
+    q = jnp.asarray(xs[:16])
+    cs, cand = index_mod.fused_query_topk(f16, q, 32)
+    _, ids = index_mod.exact_rerank(jnp.asarray(xs), q,
+                                    cand.astype(jnp.int32), cs, 5)
+    for b in range(16):
+        assert b in np.asarray(ids)[b]
+
+
+def test_wrapper_serves_fused_engine(built):
+    """Above blocked_threshold predict_fast must route through the fused
+    index (default engine) and keep retrieval exact; rerank=0 must build
+    the separate f32 exact index."""
+    tree, idx, xs, leaves = built
+    db = CobwebIndex(corpus_embeddings=xs)
+    db.blocked_threshold = 16
+    db.rerank_threshold = 16
+    assert db.use_fused
+    got = db.predict_fast(xs[:12], k=1, is_embedding=True, return_ids=True)
+    assert [g[0] for g in got] == list(range(12))
+    assert db._fused is not None and db._fused.GT.dtype == jnp.bfloat16
+    assert getattr(db, "_blocked", None) is None   # blocked never built
+    # rerank=0: exact f32 path-score ranking — same top-5 SET as the
+    # gather engine (near-tie order may differ across associations)
+    _, want = index_mod.query_topk(db._flat_pred_index(),
+                                   jnp.asarray(xs[:6]), 5)
+    got0 = db.predict_fast(xs[:6], k=5, is_embedding=True, return_ids=True,
+                           rerank=0)
+    assert getattr(db, "_fused_f32", None) is not None
+    assert db._fused_f32.GT.dtype == jnp.float32
+    for b in range(6):
+        assert set(got0[b]) == set(np.asarray(want)[b])
+
+
+def test_wrapper_fused_stale_serving(built):
+    """Pending adds must keep serving correctly through the fused engine
+    (stale index + closed-form pending merge)."""
+    rng = np.random.default_rng(3)
+    xs = clustered(rng, n_clusters=4, per=12, dim=16)
+    db = CobwebIndex(corpus_embeddings=xs)
+    db.blocked_threshold = 16
+    db.rerank_threshold = 16
+    db.predict_fast(xs[0], k=1, is_embedding=True)   # build the index
+    fresh = clustered(rng, n_clusters=2, per=3, dim=16) + 8.0
+    db.add_sentences([None] * len(fresh), fresh)
+    assert db._unindexed_count() > 0
+    got = db.predict_fast(fresh, k=1, is_embedding=True, return_ids=True)
+    assert [g[0] for g in got] == list(range(len(xs), len(xs) + len(fresh)))
