@@ -91,6 +91,24 @@ def blocked_model(B: int, NB: int, M: int, TS: int, D: int,
     return EngineModel(name, flops, hbm, f32_mxu=dtype_bytes == 4)
 
 
+def fused_flat_model(B: int, Sp: int, D: int,
+                     dtype_bytes: int = 4) -> EngineModel:
+    """Fused Cobweb sweep (core/index.fused_scores): one (B, 2D) x (2D, Sp)
+    GEMM + bias + top-k.  Same shape as the exact flat baseline at twice
+    the contraction dim — the path-score contraction pre-associated into
+    the index.  HBM: the (2D, Sp) coefficient matrix once per batch plus
+    the (B, Sp) scores written and read back for top_k."""
+    flops = 2.0 * B * Sp * 2 * D
+    hbm = 2.0 * D * Sp * dtype_bytes + 2.0 * B * Sp * 4
+    return EngineModel("fused_flat", flops, hbm, f32_mxu=dtype_bytes == 4)
+
+
+def model_for_fused_index(fidx, B: int) -> EngineModel:
+    TwoD, Sp = fidx.GT.shape
+    return fused_flat_model(B, Sp, TwoD // 2,
+                            dtype_bytes=fidx.GT.dtype.itemsize)
+
+
 def gather_path_model(B: int, S: int, N: int, D: int, P: int) -> EngineModel:
     """Gather-path scoring (core/index.query_topk): two (B, D)x(D, N)
     GEMMs + P gathers of (B, S) from the (B, N) node log-probs."""

@@ -6,5 +6,8 @@ the TPU build's first-class replacement.
 
 from rag_cobweb_tpu.parallel.forest import CobwebForest, make_mesh
 from rag_cobweb_tpu.parallel.distributed import forest_mesh, initialize
+from rag_cobweb_tpu.parallel.tp import (
+    TPFusedPredictionIndex, TPPredictionIndex)
 
-__all__ = ["CobwebForest", "make_mesh", "forest_mesh", "initialize"]
+__all__ = ["CobwebForest", "make_mesh", "forest_mesh", "initialize",
+           "TPFusedPredictionIndex", "TPPredictionIndex"]

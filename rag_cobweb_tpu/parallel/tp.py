@@ -185,6 +185,138 @@ def _tp_query(mesh: Mesh, axis: str, k: int, rerank: int):
     return jax.jit(f)
 
 
+# ---------------------------------------------------------------------------
+# fused-form TP: the (2D, S) coefficient matrix sharded along S
+# ---------------------------------------------------------------------------
+
+class TPFusedIndex(NamedTuple):
+    """Fused index (core/index.FusedIndex) sharded along S (leading axis =
+    mesh shard).  Each device holds a (2D, S/K) column slab plus its bias
+    and sentence ids; queries replicate.
+
+    vs the stats-sharded ``TPIndex``: no (B, N) ``psum`` — the fused
+    coefficients already folded the node dimension away, so the only
+    collective is the all_gather of (B, kk) per-shard candidates.  ICI
+    traffic drops from O(B·N) to O(K·B·kk) per batch, and per-device HBM
+    is (2D·S)/K with no replicated node statistics at all."""
+
+    GT: jnp.ndarray    # (K, 2D, S/K) serving-dtype column slabs
+    c: jnp.ndarray     # (K, S/K) f32 bias
+    sid: jnp.ndarray   # (K, S/K) local column -> global sentence id, -1 pad
+    emb: jnp.ndarray   # (K, S/K, D) stored embeddings ((K, S/K, 0) if none)
+
+    @property
+    def n_shards(self) -> int:
+        return self.GT.shape[0]
+
+
+def shard_fused_index(fidx, n_shards: int, embeddings=None) -> TPFusedIndex:
+    """Split a built FusedIndex into ``n_shards`` column slabs (host-side
+    reshapes; placement happens in ``TPFusedPredictionIndex``)."""
+    GT = np.asarray(fidx.GT)
+    c = np.asarray(fidx.c)
+    valid = np.asarray(fidx.valid)
+    TwoD, Sp = GT.shape
+    Spp = -(-Sp // n_shards) * n_shards
+    sid = np.where(valid, np.arange(Sp, dtype=np.int32), -1)
+    if Spp != Sp:
+        GT = np.pad(GT, ((0, 0), (0, Spp - Sp)))
+        c = np.pad(c, (0, Spp - Sp))
+        sid = np.pad(sid, (0, Spp - Sp), constant_values=-1)
+    GT = GT.reshape(TwoD, n_shards, Spp // n_shards).transpose(1, 0, 2)
+    if embeddings is not None:
+        emb = np.asarray(embeddings, np.float32)
+        S, D = emb.shape
+        emb = np.pad(emb, ((0, Spp - S), (0, 0)))
+        emb = emb.reshape(n_shards, Spp // n_shards, D)
+    else:
+        emb = np.zeros((n_shards, Spp // n_shards, 0), np.float32)
+    return TPFusedIndex(
+        GT=jnp.asarray(np.ascontiguousarray(GT)),
+        c=jnp.asarray(c.reshape(n_shards, Spp // n_shards)),
+        sid=jnp.asarray(sid.reshape(n_shards, Spp // n_shards)),
+        emb=jnp.asarray(emb),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _tp_fused_query(mesh: Mesh, axis: str, k: int, rerank: int,
+                    approx: bool, lo_prec: bool):
+    """shard_map'd fused query: local [q, q^2] @ slab GEMM + bias, local
+    (approx-)top-kk over the slab columns, optional exact re-rank on the
+    local stored rows, then ONE all_gather merge of (B, kk) candidates."""
+
+    def per_shard(tpidx: TPFusedIndex, q):
+        GT = tpidx.GT[0]                        # (2D, S/K) local slab
+        c = tpidx.c[0]
+        sid = tpidx.sid[0]
+        prec = (jax.lax.Precision.DEFAULT if lo_prec
+                else jax.lax.Precision.HIGHEST)
+        qq = jnp.concatenate([q, jnp.square(q)], axis=1).astype(GT.dtype)
+        s = jnp.matmul(qq, GT, precision=prec,
+                       preferred_element_type=jnp.float32) + c[None, :]
+        s = jnp.where(sid[None, :] >= 0, s, -jnp.inf)
+        kk = min(max(k, rerank), s.shape[1])
+        if approx and kk < s.shape[1]:
+            top, rows = jax.lax.approx_max_k(s, kk, recall_target=0.95)
+        else:
+            top, rows = jax.lax.top_k(s, kk)
+        gids = sid[rows]
+        if rerank and tpidx.emb.shape[-1] > 0:
+            # exact, globally calibrated merge key: -||q - x||^2
+            x = tpidx.emb[0][rows]              # (B, kk, D)
+            d2 = jnp.sum(jnp.square(q[:, None, :] - x), -1)
+            top = jnp.where(jnp.isfinite(top), -d2, -jnp.inf)
+        all_top = jax.lax.all_gather(top, axis)     # (K, B, kk)
+        all_gids = jax.lax.all_gather(gids, axis)
+        K, B, kk2 = all_top.shape
+        merged = jnp.transpose(all_top, (1, 0, 2)).reshape(B, K * kk2)
+        mids = jnp.transpose(all_gids, (1, 0, 2)).reshape(B, K * kk2)
+        fin, pos = jax.lax.top_k(merged, min(k, K * kk2))
+        return fin, jnp.take_along_axis(mids, pos, axis=1)
+
+    f = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(TPFusedIndex(GT=P(axis), c=P(axis), sid=P(axis),
+                               emb=P(axis)), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+class TPFusedPredictionIndex:
+    """Fused index sharded along S over a mesh (query facade).
+
+    The serving-scale TP engine: per-device memory (2D·S)/K, zero
+    replicated node state, one small all_gather per batch.  ``rerank``
+    with stored ``embeddings`` reproduces the single-device
+    fused-pool + exact re-rank ordering exactly (the re-rank key is
+    global L2, computed shard-locally on the owning shard's rows)."""
+
+    def __init__(self, fidx, mesh: Mesh, axis: str = "shard",
+                 embeddings=None):
+        self.mesh = mesh
+        self.axis = axis
+        self.n_shards = int(mesh.devices.size)
+        t = shard_fused_index(fidx, self.n_shards, embeddings)
+
+        def put(a):
+            sp = NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+            return jax.device_put(a, sp)
+
+        self.tpidx = TPFusedIndex(*[put(a) for a in t])
+        self.lo_prec = t.GT.dtype != jnp.float32
+
+    def query_topk(self, queries, k: int, rerank: int = 0,
+                   approx: bool = False):
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        fn = _tp_fused_query(self.mesh, self.axis, k, rerank,
+                             approx, self.lo_prec)
+        scores, gids = fn(self.tpidx, q)
+        return np.asarray(scores), np.asarray(gids)
+
+
 class TPPredictionIndex:
     """One tree's prediction index sharded over a mesh (query facade)."""
 

@@ -122,6 +122,14 @@ def main():
         rows.append(dict(rl.model_for_blocked_index(bidx, B, fused=False)
                          .report(ms, B), sync_ms=round(sync_ms, 3)))
 
+        fidx = db._fused_index()
+        ms, sync_ms, _ = timed(lambda qq: index_mod.fused_query_topk(
+            fidx, qq, args.rerank, approx=True), q)
+        r = dict(rl.model_for_fused_index(fidx, B).report(ms, B),
+                 sync_ms=round(sync_ms, 3))
+        r["engine"] = f"fused_flat_{jnp.dtype(fidx.GT.dtype).name}"
+        rows.append(r)
+
         try:
             ms, sync_ms, _ = timed(lambda qq: pq.pallas_blocked_topk_tiled(
                 bidx, qq, args.rerank, interpret=not on_tpu,
@@ -165,7 +173,7 @@ def main():
                 B, depth, C, D, pack_bytes=bmidx.pack.dtype.itemsize)
             rows.append(dict(m.report(ms, B), sync_ms=round(sync_ms, 3)))
 
-        for r in rows[-5:]:
+        for r in rows[-7:]:
             log(f"[roofline] B={B} {r['engine']}: {r['measured_ms']} ms "
                 f"(min {r['roofline_min_ms']} ms, {r['bound']}-bound, "
                 f"MFU {r['mfu_pct']}%, HBM {r['hbm_pct']}%)")

@@ -11,7 +11,8 @@ from rag_cobweb_tpu.core.config import TreeConfig
 from rag_cobweb_tpu.core.tree import CobwebTree
 from rag_cobweb_tpu.core import index as index_mod
 from rag_cobweb_tpu.parallel.forest import make_mesh
-from rag_cobweb_tpu.parallel.tp import TPPredictionIndex, shard_index
+from rag_cobweb_tpu.parallel.tp import (
+    TPFusedPredictionIndex, TPPredictionIndex, shard_fused_index, shard_index)
 
 
 @pytest.fixture(scope="module")
@@ -72,6 +73,48 @@ def test_forest_mesh_single_host():
     assert local_shard_count(mesh) == len(jax.devices())
     mesh2 = forest_mesh(shards_per_host=4)
     assert local_shard_count(mesh2) == 4
+
+
+def test_shard_fused_index_shapes(built):
+    idx, xs = built
+    fidx = index_mod.build_fused_index(idx)
+    tp = shard_fused_index(fidx, 8)   # Sp=2048 -> 256 columns per shard
+    assert tp.GT.shape[0] == 8
+    assert tp.GT.shape[1] == fidx.GT.shape[0]
+    assert tp.GT.shape[0] * tp.GT.shape[2] >= fidx.GT.shape[1]
+    sid = np.asarray(tp.sid).reshape(-1)
+    assert set(sid[sid >= 0].tolist()) == set(range(len(xs)))
+
+
+def test_tp_fused_query_matches_single_device(built):
+    idx, xs = built
+    fidx = index_mod.build_fused_index(idx)
+    mesh = make_mesh(8)
+    tp = TPFusedPredictionIndex(fidx, mesh)
+    q = jnp.asarray(xs[:32])
+    want_s, want_ids = index_mod.fused_query_topk(fidx, q, 5)
+    got_s, got_ids = tp.query_topk(np.asarray(q), 5)
+    np.testing.assert_allclose(got_s, np.asarray(want_s),
+                               rtol=1e-4, atol=1e-3)
+    for b in range(32):
+        assert set(got_ids[b]) == set(np.asarray(want_ids)[b].tolist()), b
+
+
+def test_tp_fused_exact_rerank_matches_single_device_ordering(built):
+    """bf16 slab sweep for the pool, exact stored-row L2 as the merge key:
+    the sharded ordering must equal the single-device exact re-rank."""
+    idx, xs = built
+    fidx = index_mod.build_fused_index(idx, dtype=jnp.bfloat16)
+    mesh = make_mesh(8)
+    tp = TPFusedPredictionIndex(fidx, mesh, embeddings=xs)
+    q = jnp.asarray(xs[:16] + 0.01)
+    _, want = index_mod.exact_rerank(
+        jnp.asarray(xs), q,
+        jnp.broadcast_to(jnp.arange(len(xs), dtype=jnp.int32),
+                         (16, len(xs))),
+        jnp.zeros((16, len(xs))), 5)
+    _, got = tp.query_topk(np.asarray(q), 5, rerank=64)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_tp_exact_rerank_matches_single_device_ordering(built):
