@@ -173,22 +173,35 @@ def main():
                         f"{rep['roofline_frac']:.2f}x roofline)")
             print(msg, flush=True)
 
-        # THE PRODUCT PATH: wrapper dispatch — bf16 blocked sweep +
-        # approx candidate pool + stored-embedding EXACT re-rank
+        # THE PRODUCT PATH: wrapper dispatch — bf16 FUSED sweep (one
+        # [q,q^2] @ (2D,S) GEMM) + approx candidate pool +
+        # stored-embedding EXACT re-rank
         run_eval("product_query_ids",
                  lambda qb, k: db.query_ids(qb, k, rerank=args.rerank),
-                 rl.model_for_blocked_index(bidx, args.batch, fused=False))
+                 rl.model_for_fused_index(db._fused_index(), args.batch))
 
-        # ablation: same bf16 sweep with the EXACT top-pool epilogue —
-        # shows what approx_max_k is worth at this scale
-        def bf16_exact_epilogue(qb, k):
+        # ablation: the round-3 blocked engine (bf16 blocked sweep +
+        # approx pool + exact re-rank) — what the fused association saves
+        def bf16_blocked_approx(qb, k):
             cs, cand = index_mod.blocked_query_topk(
-                bidx, jnp.asarray(qb), max(k, args.rerank))
+                bidx, jnp.asarray(qb), max(k, args.rerank), approx=True,
+                recall_target=db.approx_recall_target)
             return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
 
-        run_eval("bf16_exact_epilogue_rerank", bf16_exact_epilogue,
+        run_eval("bf16_blocked_approx_rerank", bf16_blocked_approx,
                  rl.model_for_blocked_index(bidx, args.batch, fused=False))
-        del bf16_exact_epilogue
+        del bf16_blocked_approx
+
+        # ablation: fused sweep with the EXACT top-pool epilogue — what
+        # approx_max_k is worth on the fused scores at this scale
+        def fused_exact_epilogue(qb, k):
+            cs, cand = index_mod.fused_query_topk(
+                db._fused_index(), jnp.asarray(qb), max(k, args.rerank))
+            return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
+
+        run_eval("fused_exact_epilogue_rerank", fused_exact_epilogue,
+                 rl.model_for_fused_index(db._fused_index(), args.batch))
+        del fused_exact_epilogue
 
         if size <= 1_100_000:
             flat_base = FlatIndex(corpus_w[:size], metric="l2")

@@ -110,6 +110,27 @@ def test_wrapper_serves_fused_engine(built):
         assert set(got0[b]) == set(np.asarray(want)[b])
 
 
+def test_wrapper_fused_rebuilds_after_flush(built):
+    """Once the pending buffer flushes into the tree the fused index must
+    be rebuilt from the NEW structure, not served stale."""
+    rng = np.random.default_rng(7)
+    xs = clustered(rng, n_clusters=4, per=12, dim=16)
+    db = CobwebIndex(corpus_embeddings=xs)
+    db.blocked_threshold = 16
+    db.rerank_threshold = 16
+    db.predict_fast(xs[0], k=1, is_embedding=True)
+    old = db._fused
+    assert old is not None
+    fresh = clustered(rng, n_clusters=2, per=4, dim=16) - 9.0
+    db.add_sentences([None] * len(fresh), fresh)
+    db._flush_pending()
+    assert db._fused is None                  # invalidated with the tree
+    got = db.predict_fast(fresh, k=1, is_embedding=True, return_ids=True)
+    assert [g[0] for g in got] == list(range(len(xs), len(xs) + len(fresh)))
+    assert db._fused is not None and db._fused is not old
+    assert db._fused.num_slots >= len(xs) + len(fresh)
+
+
 def test_wrapper_fused_stale_serving(built):
     """Pending adds must keep serving correctly through the fused engine
     (stale index + closed-form pending merge)."""
