@@ -28,6 +28,114 @@
 
 namespace {
 
+// SIMD distance kernels.  -O3 alone cannot vectorize these: strict FP
+// forbids reassociating the accumulation chain, so the scalar loop
+// serializes one FMA per cycle.  Explicit intrinsics with 4 independent
+// accumulators run at load bandwidth (~16x scalar at d=768 on AVX-512).
+#if defined(__AVX512F__)
+#include <immintrin.h>
+
+inline float dot(const float* a, const float* b, int d) {
+  __m512 s0 = _mm512_setzero_ps(), s1 = _mm512_setzero_ps();
+  __m512 s2 = _mm512_setzero_ps(), s3 = _mm512_setzero_ps();
+  int i = 0;
+  for (; i + 64 <= d; i += 64) {
+    s0 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i), s0);
+    s1 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i + 16), _mm512_loadu_ps(b + i + 16), s1);
+    s2 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i + 32), _mm512_loadu_ps(b + i + 32), s2);
+    s3 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i + 48), _mm512_loadu_ps(b + i + 48), s3);
+  }
+  for (; i + 16 <= d; i += 16)
+    s0 = _mm512_fmadd_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i), s0);
+  if (i < d) {
+    __mmask16 m = (__mmask16)((1u << (d - i)) - 1);
+    s1 = _mm512_fmadd_ps(_mm512_maskz_loadu_ps(m, a + i),
+                         _mm512_maskz_loadu_ps(m, b + i), s1);
+  }
+  return _mm512_reduce_add_ps(
+      _mm512_add_ps(_mm512_add_ps(s0, s1), _mm512_add_ps(s2, s3)));
+}
+
+inline float l2sq(const float* a, const float* b, int d) {
+  __m512 s0 = _mm512_setzero_ps(), s1 = _mm512_setzero_ps();
+  __m512 s2 = _mm512_setzero_ps(), s3 = _mm512_setzero_ps();
+  int i = 0;
+  for (; i + 64 <= d; i += 64) {
+    __m512 t0 = _mm512_sub_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i));
+    __m512 t1 = _mm512_sub_ps(_mm512_loadu_ps(a + i + 16), _mm512_loadu_ps(b + i + 16));
+    __m512 t2 = _mm512_sub_ps(_mm512_loadu_ps(a + i + 32), _mm512_loadu_ps(b + i + 32));
+    __m512 t3 = _mm512_sub_ps(_mm512_loadu_ps(a + i + 48), _mm512_loadu_ps(b + i + 48));
+    s0 = _mm512_fmadd_ps(t0, t0, s0);
+    s1 = _mm512_fmadd_ps(t1, t1, s1);
+    s2 = _mm512_fmadd_ps(t2, t2, s2);
+    s3 = _mm512_fmadd_ps(t3, t3, s3);
+  }
+  for (; i + 16 <= d; i += 16) {
+    __m512 t = _mm512_sub_ps(_mm512_loadu_ps(a + i), _mm512_loadu_ps(b + i));
+    s0 = _mm512_fmadd_ps(t, t, s0);
+  }
+  if (i < d) {
+    __mmask16 m = (__mmask16)((1u << (d - i)) - 1);
+    __m512 t = _mm512_sub_ps(_mm512_maskz_loadu_ps(m, a + i),
+                             _mm512_maskz_loadu_ps(m, b + i));
+    s1 = _mm512_fmadd_ps(t, t, s1);
+  }
+  return _mm512_reduce_add_ps(
+      _mm512_add_ps(_mm512_add_ps(s0, s1), _mm512_add_ps(s2, s3)));
+}
+
+#elif defined(__AVX2__) && defined(__FMA__)
+#include <immintrin.h>
+
+inline float hsum8(__m256 v) {
+  __m128 lo = _mm256_castps256_ps128(v);
+  __m128 hi = _mm256_extractf128_ps(v, 1);
+  lo = _mm_add_ps(lo, hi);
+  lo = _mm_hadd_ps(lo, lo);
+  lo = _mm_hadd_ps(lo, lo);
+  return _mm_cvtss_f32(lo);
+}
+
+inline float dot(const float* a, const float* b, int d) {
+  __m256 s0 = _mm256_setzero_ps(), s1 = _mm256_setzero_ps();
+  __m256 s2 = _mm256_setzero_ps(), s3 = _mm256_setzero_ps();
+  int i = 0;
+  for (; i + 32 <= d; i += 32) {
+    s0 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i), _mm256_loadu_ps(b + i), s0);
+    s1 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i + 8), _mm256_loadu_ps(b + i + 8), s1);
+    s2 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i + 16), _mm256_loadu_ps(b + i + 16), s2);
+    s3 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i + 24), _mm256_loadu_ps(b + i + 24), s3);
+  }
+  for (; i + 8 <= d; i += 8)
+    s0 = _mm256_fmadd_ps(_mm256_loadu_ps(a + i), _mm256_loadu_ps(b + i), s0);
+  float s = hsum8(_mm256_add_ps(_mm256_add_ps(s0, s1), _mm256_add_ps(s2, s3)));
+  for (; i < d; ++i) s += a[i] * b[i];
+  return s;
+}
+
+inline float l2sq(const float* a, const float* b, int d) {
+  __m256 s0 = _mm256_setzero_ps(), s1 = _mm256_setzero_ps();
+  int i = 0;
+  for (; i + 16 <= d; i += 16) {
+    __m256 t0 = _mm256_sub_ps(_mm256_loadu_ps(a + i), _mm256_loadu_ps(b + i));
+    __m256 t1 = _mm256_sub_ps(_mm256_loadu_ps(a + i + 8), _mm256_loadu_ps(b + i + 8));
+    s0 = _mm256_fmadd_ps(t0, t0, s0);
+    s1 = _mm256_fmadd_ps(t1, t1, s1);
+  }
+  for (; i + 8 <= d; i += 8) {
+    __m256 t = _mm256_sub_ps(_mm256_loadu_ps(a + i), _mm256_loadu_ps(b + i));
+    s0 = _mm256_fmadd_ps(t, t, s0);
+  }
+  float s = hsum8(_mm256_add_ps(s0, s1));
+  for (; i < d; ++i) {
+    float t = a[i] - b[i];
+    s += t * t;
+  }
+  return s;
+}
+
+#else
+
 inline float dot(const float* a, const float* b, int d) {
   float s = 0.f;
   for (int i = 0; i < d; ++i) s += a[i] * b[i];
@@ -42,6 +150,8 @@ inline float l2sq(const float* a, const float* b, int d) {
   }
   return s;
 }
+
+#endif
 
 void parallel_for(int64_t n, int threads, const std::function<void(int64_t)>& fn) {
   if (threads <= 1 || n < 2) {
@@ -280,31 +390,59 @@ void ann_flat_topk(const float* corpus, int64_t n, int dim,
       norms[i] = 1.f / std::max(1e-12f, std::sqrt(dot(corpus + i * dim,
                                                       corpus + i * dim, dim)));
   }
-  parallel_for(nq, threads, [&](int64_t qi) {
-    const float* q = queries + qi * dim;
-    float qn = 1.f;
-    if (metric == 2)
-      qn = 1.f / std::max(1e-12f, std::sqrt(dot(q, q, dim)));
+  // Corpus-blocked scan: with a query-outer loop every query re-streams
+  // the whole corpus through DRAM (nq x the traffic).  Instead each
+  // thread owns a TILE of queries and walks the corpus in L2-sized
+  // blocks, so one block load is amortized across the whole tile.
+  const int64_t kBlockBytes = 512 << 10;  // ~half a typical L2
+  const int64_t block_rows =
+      std::max<int64_t>(1, kBlockBytes / (int64_t)(dim * sizeof(float)));
+  const int64_t tile_q = 32;
+  const int64_t n_tiles = (nq + tile_q - 1) / tile_q;
+  parallel_for(n_tiles, threads, [&](int64_t ti) {
+    const int64_t q0 = ti * tile_q;
+    const int64_t q1 = std::min(nq, q0 + tile_q);
+    const int nt = (int)(q1 - q0);
     using P = std::pair<float, int64_t>;
-    std::priority_queue<P, std::vector<P>, std::greater<P>> heap;  // min-heap
-    for (int64_t i = 0; i < n; ++i) {
-      float s;
-      if (metric == 1) s = -l2sq(q, corpus + i * dim, dim);
-      else if (metric == 2) s = dot(q, corpus + i * dim, dim) * qn * norms[i];
-      else s = dot(q, corpus + i * dim, dim);
-      if ((int)heap.size() < k) heap.emplace(s, i);
-      else if (s > heap.top().first) { heap.pop(); heap.emplace(s, i); }
+    using Heap = std::priority_queue<P, std::vector<P>, std::greater<P>>;
+    std::vector<Heap> heaps(nt);  // min-heaps
+    std::vector<float> qns(nt, 1.f);
+    if (metric == 2) {
+      for (int j = 0; j < nt; ++j) {
+        const float* q = queries + (q0 + j) * dim;
+        qns[j] = 1.f / std::max(1e-12f, std::sqrt(dot(q, q, dim)));
+      }
     }
-    std::vector<P> res;
-    while (!heap.empty()) { res.push_back(heap.top()); heap.pop(); }
-    std::sort(res.rbegin(), res.rend());
-    for (int i = 0; i < k; ++i) {
-      if (i < (int)res.size()) {
-        out_ids[qi * k + i] = res[i].second;
-        out_scores[qi * k + i] = res[i].first;
-      } else {
-        out_ids[qi * k + i] = -1;
-        out_scores[qi * k + i] = 0.f;
+    for (int64_t b = 0; b < n; b += block_rows) {
+      const int64_t be = std::min(n, b + block_rows);
+      for (int j = 0; j < nt; ++j) {
+        const float* q = queries + (q0 + j) * dim;
+        const float qn = qns[j];
+        Heap& heap = heaps[j];
+        for (int64_t i = b; i < be; ++i) {
+          float s;
+          if (metric == 1) s = -l2sq(q, corpus + i * dim, dim);
+          else if (metric == 2) s = dot(q, corpus + i * dim, dim) * qn * norms[i];
+          else s = dot(q, corpus + i * dim, dim);
+          if ((int)heap.size() < k) heap.emplace(s, i);
+          else if (s > heap.top().first) { heap.pop(); heap.emplace(s, i); }
+        }
+      }
+    }
+    for (int j = 0; j < nt; ++j) {
+      const int64_t qi = q0 + j;
+      std::vector<P> res;
+      Heap& heap = heaps[j];
+      while (!heap.empty()) { res.push_back(heap.top()); heap.pop(); }
+      std::sort(res.rbegin(), res.rend());
+      for (int i = 0; i < k; ++i) {
+        if (i < (int)res.size()) {
+          out_ids[qi * k + i] = res[i].second;
+          out_scores[qi * k + i] = res[i].first;
+        } else {
+          out_ids[qi * k + i] = -1;
+          out_scores[qi * k + i] = 0.f;
+        }
       }
     }
   });
