@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <functional>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <random>
@@ -192,7 +193,17 @@ struct HnswIndex {
   // adjacency: per level, per node, fixed slots (-1 empty)
   std::vector<std::vector<int64_t>> links; // links[l][node*cap + j]
   std::mt19937_64 rng{0x5eed};
-  std::mutex mtx;
+  std::mutex mtx;  // guards entry/max_level only
+  // Striped per-node locks for concurrent builds (hnswlib-style): each
+  // link() mutates exactly ONE node's adjacency row, so one stripe lock
+  // per call suffices — no nested locking, no deadlock, and concurrent
+  // inserts touching different nodes no longer serialize on one mutex.
+  static constexpr int64_t kLockStripes = 4096;  // power of two
+  std::unique_ptr<std::mutex[]> node_locks{new std::mutex[kLockStripes]};
+
+  std::mutex& lock_for(int64_t node) {
+    return node_locks[node & (kLockStripes - 1)];
+  }
 
   int64_t size() const { return levels.size(); }
 
@@ -325,10 +336,15 @@ struct HnswIndex {
       while (!best.empty()) { cands.push_back(best.top()); best.pop(); }
       auto sel = select_neighbors(x, cands, cap(l));
       ep = sel.empty() ? ep : sel[0];
-      std::lock_guard<std::mutex> g(mtx);
       for (int64_t v : sel) {
-        link(l, id, v);
-        link(l, v, id);
+        {
+          std::lock_guard<std::mutex> g(lock_for(id));
+          link(l, id, v);
+        }
+        {
+          std::lock_guard<std::mutex> g(lock_for(v));
+          link(l, v, id);
+        }
       }
     }
     if (level > max_level) {
