@@ -136,6 +136,17 @@ def main():
         bidx = db._blocked_index()
         blocked_s = time.perf_counter() - t0
         os.environ.pop("RAG_COBWEB_TPU_INDEX_TIMING", None)
+        t0 = time.perf_counter()
+        fidx = db._fused_index()
+        fidx.c.block_until_ready()
+        fused_s = time.perf_counter() - t0
+        row_extra = {"fused_build_s": round(fused_s, 2),
+                     "fused_index_mb": round(
+                         fidx.GT.nbytes / 1e6 + fidx.c.nbytes / 1e6, 1)}
+        print(f"[1m] fused index build {fused_s:.1f}s "
+              f"({row_extra['fused_index_mb']} MB) — serving needs only "
+              f"flatten+fused; the blocked build below is ablation-only",
+              flush=True)
         NB, M, _ = bidx.ivt_b.shape
         TS = bidx.W.shape[2]
         print(f"[1m] c={size}: build {build_s:.1f}s ({rate:.0f}/s), "
@@ -149,9 +160,21 @@ def main():
         row = {"size": size, "insert_rate": round(rate, 1),
                "build_s": round(build_s, 1),
                "flatten_s": round(flat_s, 2),
-               "blocked_build_s": round(blocked_s, 2)}
+               "blocked_build_s": round(blocked_s, 2), **row_extra}
 
-        def run_eval(name, fn, model=None):
+        def run_eval(name, fn, model=None, required=False):
+            # ablation rows degrade gracefully on HBM exhaustion (the
+            # product row is required); keeps large-batch runs crash-safe
+            if not required:
+                try:
+                    return _run_eval_inner(name, fn, model)
+                except Exception as e:
+                    print(f"[1m]   {name}: skipped "
+                          f"({type(e).__name__})", flush=True)
+                    return
+            return _run_eval_inner(name, fn, model)
+
+        def _run_eval_inner(name, fn, model=None):
             r = evaluate_retrieval(name, fn, q, gold, args.k,
                                    batch_size=args.batch)
             row[f"{name}_recall@{args.k}"] = round(
@@ -178,7 +201,8 @@ def main():
         # stored-embedding EXACT re-rank
         run_eval("product_query_ids",
                  lambda qb, k: db.query_ids(qb, k, rerank=args.rerank),
-                 rl.model_for_fused_index(db._fused_index(), args.batch))
+                 rl.model_for_fused_index(db._fused_index(), args.batch),
+                 required=True)
 
         # ablation: the round-3 blocked engine (bf16 blocked sweep +
         # approx pool + exact re-rank) — what the fused association saves
@@ -193,14 +217,21 @@ def main():
         del bf16_blocked_approx
 
         # ablation: fused sweep with the EXACT top-pool epilogue — what
-        # approx_max_k is worth on the fused scores at this scale
+        # approx_max_k is worth on the fused scores at this scale.  The
+        # exact sort materializes a (B, S) f32 workspace — skip where that
+        # alone approaches HBM (it OOM'd at B=2048 x 500k next to the
+        # forest + blocked replicas)
         def fused_exact_epilogue(qb, k):
             cs, cand = index_mod.fused_query_topk(
                 db._fused_index(), jnp.asarray(qb), max(k, args.rerank))
             return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
 
-        run_eval("fused_exact_epilogue_rerank", fused_exact_epilogue,
-                 rl.model_for_fused_index(db._fused_index(), args.batch))
+        if args.batch * size > 512_000_000:
+            print("[1m]   fused_exact_epilogue_rerank: skipped "
+                  "(B x S exact-sort workspace too large)", flush=True)
+        else:
+            run_eval("fused_exact_epilogue_rerank", fused_exact_epilogue,
+                     rl.model_for_fused_index(db._fused_index(), args.batch))
         del fused_exact_epilogue
 
         if size <= 1_100_000:
@@ -230,6 +261,14 @@ def main():
             print(f"[1m]   f32 rows skipped ({type(e).__name__})",
                   flush=True)
         db._blocked_f32 = None
+        # drop this checkpoint's index replicas BEFORE the next insert
+        # phase: the forest state realloc at 1M needs headroom, and the
+        # (bf16 blocked + fused + stored-embedding) replicas of the 500k
+        # checkpoint otherwise stay alive through locals/wrapper caches
+        # (this OOM'd the B=2048 run during the second 500k of inserts)
+        del bidx, flat, fidx
+        db._invalidate_index()
+        db._emb_dev_cache = None
         results.append(row)
         print(json.dumps(row), flush=True)
         if args.out:  # partial write per checkpoint (crash-safe)
