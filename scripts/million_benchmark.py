@@ -235,11 +235,16 @@ def main():
         del fused_exact_epilogue
 
         if size <= 1_100_000:
-            flat_base = FlatIndex(corpus_w[:size], metric="l2")
-            run_eval("flat_exact_whitened",
-                     lambda qb, k: flat_base.search_device(qb, k),
-                     rl.exact_flat_model(args.batch, size, D))
-            del flat_base
+            try:  # corpus device_put can OOM next to the forest at 1M
+                flat_base = FlatIndex(corpus_w[:size], metric="l2")
+            except Exception as e:
+                print(f"[1m]   flat_exact_whitened: skipped "
+                      f"({type(e).__name__})", flush=True)
+            else:
+                run_eval("flat_exact_whitened",
+                         lambda qb, k: flat_base.search_device(qb, k),
+                         rl.exact_flat_model(args.batch, size, D))
+                del flat_base
 
         # f32 comparison rows (the pre-bf16 serving formulation), built on
         # demand and freed after; at 1M the f32 index is ~5.4 GB next to
