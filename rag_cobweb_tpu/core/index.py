@@ -1089,28 +1089,44 @@ def build_fused_index(index: PredictionIndex,
     return FusedIndex(GT=GT, c=c, valid=valid)
 
 
-def fused_scores(fidx: FusedIndex, queries: jnp.ndarray) -> jnp.ndarray:
+def fused_scores(fidx: FusedIndex, queries: jnp.ndarray,
+                 score_dtype: str = "float32") -> jnp.ndarray:
     """(B, D) -> (B, Sp) path scores via one GEMM.  f32 indexes contract
     at HIGHEST precision (exact path-score ORDER contract); bf16 indexes
     contract natively with f32 accumulation — the approximate sweep the
-    downstream exact re-rank makes exact."""
+    downstream exact re-rank makes exact.
+
+    ``score_dtype``: dtype of the MATERIALIZED (B, Sp) score matrix.
+    The sweep is HBM-bound and at scale the score round-trip dominates
+    the coefficient stream itself (B=1024 x 1M: 8.2 GB write+read f32
+    vs 0.5 GB of GT) — emitting bf16 scores (f32 GEMM accumulation; the
+    cast fuses into the GEMM epilogue) halves that term.  Only valid
+    for candidate-POOL selection: bf16 shuffles near-ties, the exact
+    re-rank restores final order."""
     lo = fidx.GT.dtype != jnp.float32
     prec = jax.lax.Precision.DEFAULT if lo else jax.lax.Precision.HIGHEST
     q = queries.astype(jnp.float32)
     qq = jnp.concatenate([q, jnp.square(q)], axis=1).astype(fidx.GT.dtype)
     s = jnp.matmul(qq, fidx.GT, precision=prec,
                    preferred_element_type=jnp.float32) + fidx.c[None, :]
-    return jnp.where(fidx.valid[None, :], s, -jnp.inf)
+    s = jnp.where(fidx.valid[None, :], s, -jnp.inf)
+    return s.astype(jnp.dtype(score_dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "approx", "recall_target"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "approx", "recall_target",
+                                    "score_dtype"))
 def fused_query_topk(fidx: FusedIndex, queries: jnp.ndarray, k: int,
-                     approx: bool = False, recall_target: float = 0.95):
+                     approx: bool = False, recall_target: float = 0.95,
+                     score_dtype: str = "float32"):
     """Batched top-k over the fused scores -> (scores, sentence ids).
     Positions ARE sentence ids (identity row order); ``approx`` selects
     the candidate pool with ``jax.lax.approx_max_k`` (see
-    ``blocked_query_topk`` for when that is the right trade)."""
-    scores = fused_scores(fidx, queries)
+    ``blocked_query_topk`` for when that is the right trade).
+    ``score_dtype="bfloat16"`` halves the dominant HBM term at scale —
+    pool-selection paths only (see ``fused_scores``); returned scores
+    are upcast f32."""
+    scores = fused_scores(fidx, queries, score_dtype)
     Sp = scores.shape[1]
     k = min(k, Sp)
     if approx and k < Sp:
@@ -1118,7 +1134,7 @@ def fused_query_topk(fidx: FusedIndex, queries: jnp.ndarray, k: int,
                                         recall_target=recall_target)
     else:
         top, pos = jax.lax.top_k(scores, k)
-    return top, pos
+    return top.astype(jnp.float32), pos
 
 
 # ---------------------------------------------------------------------------

@@ -404,6 +404,14 @@ class CobwebIndex:
     # scores, and a build that is one device pass over path hops.
     use_fused = True
     fused_dtype = "bfloat16"
+    # dtype of the materialized (B, S) score matrix in the candidate-POOL
+    # path (rerank > 0 only — the rerank=0 exact-order contract always
+    # scores f32).  Measured at B=1024 x 1M on v5e: the approx_max_k
+    # partial-reduce DOMINATES the sweep (~30 of ~40 ms) and its bf16
+    # lowering is SLOWER than f32 (186 vs 31 ms unaggregated), so halving
+    # the score bytes buys nothing — keep f32 (bf16 remains selectable;
+    # pool overlap vs f32-exact measured 0.979, top-64 containment 0.999).
+    fused_score_dtype = "float32"
 
     def _fused_index(self, exact: bool = False) -> index_mod.FusedIndex:
         import jax.numpy as jnp
@@ -476,7 +484,8 @@ class CobwebIndex:
                         self._fused_index(), q,
                         min(max(rerank, kk), idx.num_sentences),
                         approx=self.approx_pool,
-                        recall_target=self.approx_recall_target)
+                        recall_target=self.approx_recall_target,
+                        score_dtype=self.fused_score_dtype)
                     return self._rerank_step(idx, q, cand, cs, kk)
                 # rerank=0 contract: exact raw path-score ORDER -> f32 index
                 return index_mod.fused_query_topk(
