@@ -145,3 +145,44 @@ def test_wrapper_fused_stale_serving(built):
     assert db._unindexed_count() > 0
     got = db.predict_fast(fresh, k=1, is_embedding=True, return_ids=True)
     assert [g[0] for g in got] == list(range(len(xs), len(xs) + len(fresh)))
+
+
+def test_pallas_fused_topk_interpret_matches(built):
+    """The fused-form Pallas pool kernel (interpret mode on CPU) must
+    agree with the XLA fused top-k when block_k covers k per slab."""
+    from rag_cobweb_tpu.ops.pallas_query import pallas_fused_topk
+
+    tree, idx, xs, leaves = built
+    fidx = index_mod.build_fused_index(idx)
+    q = jnp.asarray(xs[:6])
+    want_s, want_ids = index_mod.fused_query_topk(fidx, q, 5)
+    got_s, got_ids = pallas_fused_topk(fidx, q, 5, interpret=True,
+                                       block_k=8)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-4, atol=1e-4)
+    for b in range(6):
+        assert set(np.asarray(got_ids)[b]) == set(np.asarray(want_ids)[b])
+
+
+def test_pallas_fused_group_topk_interpret_covers(built):
+    """The group-max pool variant keeps the top `per_group` of every 128
+    adjacent rows.  This tiny corpus (90 rows) lives in ONE group, so the
+    pool is exactly the group's top `per_group` — with per_group=4 it
+    must contain the exact top-3 and score them identically."""
+    from rag_cobweb_tpu.ops.pallas_query import pallas_fused_group_topk
+
+    tree, idx, xs, leaves = built
+    fidx = index_mod.build_fused_index(idx)
+    q = jnp.asarray(xs[:6])
+    want_s, want_ids = index_mod.fused_query_topk(fidx, q, 3)
+    got_s, got_ids = pallas_fused_group_topk(fidx, q, 16, interpret=True,
+                                             per_group=4)
+    em = np.asarray(want_s)
+    for b in range(6):
+        pool = set(np.asarray(got_ids)[b])
+        assert set(np.asarray(want_ids)[b]) <= pool
+        # scores of contained ids match the exact sweep
+        pm = {int(t): float(s) for t, s in
+              zip(np.asarray(got_ids)[b], np.asarray(got_s)[b])}
+        for j, t in enumerate(np.asarray(want_ids)[b]):
+            assert abs(pm[int(t)] - em[b, j]) < 1e-3
