@@ -447,6 +447,12 @@ class CobwebIndex:
     # 0.99 degenerates to exact-sort cost at this input size.
     approx_pool = True
     approx_recall_target = 0.95
+    # the fused sweep materializes a (B, Sp) score matrix in
+    # fused_score_dtype; above this byte budget the query batch is
+    # chunked (each chunk re-streams GT — minor next to the score
+    # traffic) so large serving batches cannot OOM the chip
+    # (B=2048 x 1M f32 = 8.2 GB of scores did, RESULTS.md)
+    fused_score_budget = 2 << 30
     # opt-in: serve the fused Pallas sweep (ops/pallas_query) above
     # pallas_threshold sentences instead of the XLA blocked path.  The
     # kernel's VMEM streaming beat the EXACT-epilogue XLA path at 1M
@@ -480,16 +486,16 @@ class CobwebIndex:
                     return out
             if self.use_fused:
                 if rerank:
-                    cs, cand = index_mod.fused_query_topk(
+                    cs, cand = self._fused_chunked(
                         self._fused_index(), q,
                         min(max(rerank, kk), idx.num_sentences),
                         approx=self.approx_pool,
-                        recall_target=self.approx_recall_target,
                         score_dtype=self.fused_score_dtype)
                     return self._rerank_step(idx, q, cand, cs, kk)
                 # rerank=0 contract: exact raw path-score ORDER -> f32 index
-                return index_mod.fused_query_topk(
-                    self._fused_index(exact=True), q, kk)
+                return self._fused_chunked(
+                    self._fused_index(exact=True), q, kk, approx=False,
+                    score_dtype="float32")
             if rerank:
                 cs, cand = index_mod.blocked_query_topk(
                     self._blocked_index(), q,
@@ -521,6 +527,40 @@ class CobwebIndex:
                 jnp.float32(self.cfg.prior_var))
         return index_mod._leaf_lp_rerank(idx, q, cand.astype(jnp.int32),
                                          cand_scores, kk)
+
+    def _fused_chunked(self, fidx, q, k: int, *, approx: bool,
+                       score_dtype: str):
+        """Fused sweep with the query batch chunked to keep the (Bc, Sp)
+        score matrix under ``fused_score_budget`` bytes.  Top-k rows are
+        independent, so chunking changes results only by GEMM-shape
+        accumulation order (~1e-4 on near-ties); chunks dispatch async
+        and concatenate on device.  Ragged tails are zero-padded so
+        every chunk reuses one compiled program."""
+        B = q.shape[0]
+        row = fidx.num_slots * jnp.dtype(score_dtype).itemsize
+        bmax = max(64, int(self.fused_score_budget) // max(row, 1))
+        if bmax < B:  # power of two: program reuse across serving batches
+            bmax = 1 << (bmax.bit_length() - 1)
+
+        def one(qc):
+            return index_mod.fused_query_topk(
+                fidx, qc, k, approx=approx,
+                recall_target=self.approx_recall_target,
+                score_dtype=score_dtype)
+
+        if B <= bmax:
+            return one(q)
+        outs = []
+        for s in range(0, B, bmax):
+            qc = q[s:s + bmax]
+            n = qc.shape[0]
+            if n < bmax:
+                qc = jnp.concatenate(
+                    [qc, jnp.zeros((bmax - n, q.shape[1]), q.dtype)])
+            cs, ids = one(qc)
+            outs.append((cs[:n], ids[:n]))
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
 
     def _pallas_topk(self, bidx, idx, q, kk: int, rerank: int):
         """Serve via the Pallas fused sweep, chunking the query batch down

@@ -147,6 +147,58 @@ def test_wrapper_fused_stale_serving(built):
     assert [g[0] for g in got] == list(range(len(xs), len(xs) + len(fresh)))
 
 
+def test_fused_chunked_matches_unchunked(built):
+    """Query-batch chunking (fused_score_budget) must match the one-shot
+    sweep row for row — per-row top-k cannot see other rows — including
+    the zero-padded ragged tail (B=150 with a 64-row chunk -> 64/64/22).
+    Scores agree to GEMM reassociation tolerance (different batch shapes
+    tile the contraction differently), so sets + close scores, not bits."""
+    rng = np.random.default_rng(5)
+    xs = clustered(rng, n_clusters=10, per=20, dim=16)
+    db = CobwebIndex(corpus_embeddings=xs)
+    db.blocked_threshold = 16
+    db.rerank_threshold = 16
+    q = jnp.asarray(xs[:150])
+    fidx = db._fused_index()
+    want_s, want_ids = index_mod.fused_query_topk(
+        fidx, q, 8, approx=db.approx_pool,
+        recall_target=db.approx_recall_target,
+        score_dtype=db.fused_score_dtype)
+    db.fused_score_budget = 1        # bmax floor 64 < B=150 -> 3 chunks
+    got_s, got_ids = db._fused_chunked(
+        fidx, q, 8, approx=db.approx_pool,
+        score_dtype=db.fused_score_dtype)
+    got_ids, want_ids = np.asarray(got_ids), np.asarray(want_ids)
+    for b in range(150):
+        assert set(got_ids[b]) == set(want_ids[b])
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_fused_chunked_wrapper_multi_chunk():
+    """End-to-end: a batch larger than the 64-row chunk floor under a
+    1-byte budget must split into multiple fused dispatches and still
+    retrieve every row for itself."""
+    rng = np.random.default_rng(11)
+    xs = clustered(rng, n_clusters=10, per=20, dim=16)   # 200 rows
+    db = CobwebIndex(corpus_embeddings=xs)
+    db.blocked_threshold = 16
+    db.rerank_threshold = 16
+    db.fused_score_budget = 1          # bmax = 64 < B = 150
+    got = db.predict_fast(xs[:150], k=1, is_embedding=True,
+                          return_ids=True)
+    assert [g[0] for g in got] == list(range(150))
+    # rerank=0 exact path chunks too: same answers as the one-shot sweep
+    # (raw path score can't split same-leaf near-dups — self-retrieval
+    # misses are inherent to rerank=0, not to chunking)
+    got0 = db.predict_fast(xs[:150], k=1, is_embedding=True,
+                           return_ids=True, rerank=0)
+    db.fused_score_budget = 2 << 30
+    want0 = db.predict_fast(xs[:150], k=1, is_embedding=True,
+                            return_ids=True, rerank=0)
+    assert sum(g[0] == w[0] for g, w in zip(got0, want0)) >= 148
+
+
 def test_pallas_fused_topk_interpret_matches(built):
     """The fused-form Pallas pool kernel (interpret mode on CPU) must
     agree with the XLA fused top-k when block_k covers k per slab."""
