@@ -40,6 +40,10 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--rerank", type=int, default=512)
     p.add_argument("--dataset", choices=["hard", "easy"], default="hard")
+    p.add_argument("--no-blocked", action="store_true",
+                   help="skip the blocked-index ablation rows (the fused "
+                        "engine is the serving path; the bf16 blocked "
+                        "replica is ~2.3 GB/1M rows and OOMs at 2M)")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -133,7 +137,11 @@ def main():
         flat = db._flat_pred_index()
         flat_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        bidx = db._blocked_index()
+        # the blocked index is ablation-only since the fused engine became
+        # the serving default; at 2M its bf16 replica alone is ~4.6 GB, so
+        # --no-blocked drops it (and the rows that need it) to keep HBM for
+        # the forest + fused + stored-embedding working set
+        bidx = None if args.no_blocked else db._blocked_index()
         blocked_s = time.perf_counter() - t0
         os.environ.pop("RAG_COBWEB_TPU_INDEX_TIMING", None)
         t0 = time.perf_counter()
@@ -147,11 +155,12 @@ def main():
               f"({row_extra['fused_index_mb']} MB) — serving needs only "
               f"flatten+fused; the blocked build below is ablation-only",
               flush=True)
-        NB, M, _ = bidx.ivt_b.shape
-        TS = bidx.W.shape[2]
+        blk = ("no-blocked" if bidx is None else
+               f"blocked {blocked_s:.1f}s (NB={bidx.ivt_b.shape[0]} "
+               f"M={bidx.ivt_b.shape[1]})")
         print(f"[1m] c={size}: build {build_s:.1f}s ({rate:.0f}/s), "
-              f"flatten {flat_s:.1f}s, blocked {blocked_s:.1f}s "
-              f"(NB={NB} M={M}), nodes {flat.num_nodes}", flush=True)
+              f"flatten {flat_s:.1f}s, {blk}, nodes {flat.num_nodes}",
+              flush=True)
 
         mask = target_ids < size
         q = queries_w[mask]
@@ -204,6 +213,13 @@ def main():
                  rl.model_for_fused_index(db._fused_index(), args.batch),
                  required=True)
 
+        # ablation: the product path with a 2x re-rank pool — extends the
+        # recall-vs-pool curve (tuning_sweep.py measures it at 100k) to
+        # this scale; if recall moves, the auto pool size is undersized
+        run_eval("product_rerank2x",
+                 lambda qb, k: db.query_ids(qb, k, rerank=2 * args.rerank),
+                 rl.model_for_fused_index(db._fused_index(), args.batch))
+
         # ablation: the round-3 blocked engine (bf16 blocked sweep +
         # approx pool + exact re-rank) — what the fused association saves
         def bf16_blocked_approx(qb, k):
@@ -212,8 +228,10 @@ def main():
                 recall_target=db.approx_recall_target)
             return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
 
-        run_eval("bf16_blocked_approx_rerank", bf16_blocked_approx,
-                 rl.model_for_blocked_index(bidx, args.batch, fused=False))
+        if bidx is not None:
+            run_eval("bf16_blocked_approx_rerank", bf16_blocked_approx,
+                     rl.model_for_blocked_index(bidx, args.batch,
+                                                fused=False))
         del bf16_blocked_approx
 
         # ablation: fused sweep with the EXACT top-pool epilogue — what
@@ -234,7 +252,10 @@ def main():
                      rl.model_for_fused_index(db._fused_index(), args.batch))
         del fused_exact_epilogue
 
-        if size <= 1_100_000:
+        # gate the exact-flat baseline by its device footprint, not a row
+        # count: the whitened corpus at 2M x 128 f32 is ~1 GB, fine once
+        # --no-blocked frees the blocked replicas
+        if size * D * 4 <= 1_600_000_000:
             try:  # corpus device_put can OOM next to the forest at 1M
                 flat_base = FlatIndex(corpus_w[:size], metric="l2")
             except Exception as e:
@@ -250,6 +271,8 @@ def main():
         # demand and freed after; at 1M the f32 index is ~5.4 GB next to
         # the bf16 one — degrade gracefully if HBM can't hold both
         try:
+            if args.no_blocked:
+                raise MemoryError("--no-blocked")
             b32 = db._blocked_index(exact=True)
 
             def f32_approx(qb, k):
