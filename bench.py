@@ -17,8 +17,9 @@ The build defaults to the K-subtree forest (the repo's fastest build
 path) with the insert programs pre-compiled against a throwaway state, so
 ``build_total_s`` measures insert throughput, not the remote compile
 service.  Queries are served through ``CobwebIndex.query_ids`` — the SAME
-engine dispatch ``predict_fast`` uses (Pallas fused sweep when it fits
-VMEM, else the XLA blocked path, with auto leaf-lp re-rank).
+engine dispatch ``predict_fast`` uses (the fused one-GEMM sweep +
+``approx_max_k`` candidate pool + exact stored-embedding re-rank; XLA
+blocked and Pallas remain selectable ablation engines).
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}

@@ -405,7 +405,13 @@ class VForest:
         Rb = max(8, 1 << (R_full - 1).bit_length()) if R_full else 8
         # grow NOW so the real add sees the same (already-grown) shapes
         self._ensure_capacity(R_full + 1)
-        throw = jax.tree.map(jnp.copy, self.state)
+        # Warm against the REAL state, not a copy: the masks are all-off
+        # (pad deltas are no-ops) and every output is discarded, while the
+        # jitted program takes no donate_argnums so the input buffers stay
+        # valid.  A throwaway copy held a 3rd full state replica and OOM'd
+        # the chip at K=512 x 2M sentences (state ~4.5 GB; real + copy +
+        # program output > HBM).  Peak is now input + output = 2 replicas.
+        throw = self.state
         keys = jax.random.split(jax.random.PRNGKey(0), K * Rb).reshape(
             K, Rb, -1)
         zeros = jnp.zeros((K, Rb, D), jnp.float32)

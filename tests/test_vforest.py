@@ -292,3 +292,23 @@ def test_vforest_truncated_descents_recover_via_exact_path():
             assert (lv >= 0).all(), (lane, np.nonzero(lv < 0)[0])
             assert (st.counts[lane, lv] >= 1).all(), lane
     vf.flat_index()              # must not raise 'dead tree nodes'
+
+
+def test_warmup_insert_programs_is_a_noop_on_state(data):
+    """``warmup_insert_programs`` runs the insert programs against the
+    LIVE state with all-off masks and discards every output (it no longer
+    copies the state — the throwaway replica OOM'd K=512 x 2M warmups).
+    It must leave the forest bit-identical and later inserts intact."""
+    vf = VForest(TreeConfig(dim=16), n_subtrees=4, capacity_per_tree=512,
+                 seed=0)
+    vf.add(data[:40])
+    before = jax.device_get(vf.state)
+    vf.warmup_insert_programs(64)
+    after = jax.device_get(vf.state)
+    for name in before._fields:
+        np.testing.assert_array_equal(getattr(before, name),
+                                      getattr(after, name),
+                                      err_msg=f"field {name}")
+    # inserts after warmup still land and retrieve
+    gids = vf.add(data[40:80])
+    assert len(gids) == 40
