@@ -416,21 +416,27 @@ class VForest:
             K, Rb, -1)
         zeros = jnp.zeros((K, Rb, D), jnp.float32)
         for budget in {self._budget, *budgets}:
-            st2, _ = vinsert_rounds_masked(
+            out = vinsert_rounds_masked(
                 throw, zeros, keys, jnp.zeros((K, Rb), bool), self.cfg,
                 n_rounds=jnp.asarray(1, jnp.int32), max_steps=budget)
-            jax.block_until_ready(st2.counts)
+            jax.block_until_ready(out[0].counts)
+            # free THIS program's output state before dispatching the next
+            # one: a held reference keeps a full (K, cap, D) replica alive
+            # through the next call — at K=512 x 2M that third replica
+            # OOM'd the chip between retry waves
+            del out
             _log(f"masked rounds Rb={Rb} budget={budget}")
         # deep retry waves: bucketed pending shapes, all-off masks
         for R2b in (4, 8, 16, 32):
             if R2b > Rb:
                 break
-            st4, _ = vinsert_rounds_masked(
+            out = vinsert_rounds_masked(
                 throw, zeros[:, :R2b], keys[:, :R2b],
                 jnp.zeros((K, R2b), bool), self.cfg,
                 n_rounds=jnp.asarray(1, jnp.int32),
                 max_steps=_DEEP_STEPS)
-            jax.block_until_ready(st4.counts)
+            jax.block_until_ready(out[0].counts)
+            del out
             _log(f"retry wave R2b={R2b}")
         return _time.perf_counter() - t0
 
