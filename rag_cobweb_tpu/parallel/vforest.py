@@ -99,7 +99,8 @@ def vinsert_rounds(st, xs: jnp.ndarray, keys: jax.Array, cfg: TreeConfig,
                              (st, leaves0))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"),
+                   donate_argnums=(0,))
 def vinsert_rounds_masked(st, xs: jnp.ndarray, keys: jax.Array,
                           mask: jnp.ndarray, cfg: TreeConfig,
                           n_rounds=None, max_steps: int = _MAX_STEPS):
@@ -108,7 +109,15 @@ def vinsert_rounds_masked(st, xs: jnp.ndarray, keys: jax.Array,
     — at scale 15-25%% of descents exceed the primary scan budget, and
     dispatching a masked round per wave from the host paid a ~60 ms relay
     round-trip each.  ``n_rounds`` may be a traced scalar so callers can
-    pad R to a bucketed shape without paying for the empty rounds."""
+    pad R to a bucketed shape without paying for the empty rounds.
+
+    The input state is DONATED: every production caller immediately
+    rebinds ``self.state`` to the result, and without donation the
+    program's output state is a second full (K, cap, D) replica — at
+    K=512 the 2M-corpus state is ~4.5 GB and the 2-replica peak is what
+    capped single-chip corpora at ~2M sentences.  Callers must treat
+    the passed-in state as consumed (on CPU donation is a no-op and the
+    input stays valid — tests still run there)."""
     K, R, D = xs.shape
     if n_rounds is None:
         n_rounds = R
@@ -154,11 +163,15 @@ def _centroid_scores(q: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
             - 0.5 * jnp.sum(jnp.square(c), axis=1)[None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps"),
+                   donate_argnums=(0,))
 def _insert_one_lane(st, lane, x, key, cfg: TreeConfig,
                      max_steps: int = _EXACT_STEPS):
     """Exact-path insert of one instance into one lane of the stacked
-    state (fallback for descents deeper than the scan budget)."""
+    state (fallback for descents deeper than the scan budget).  The
+    state is donated (same rationale as ``vinsert_rounds_masked``: the
+    caller rebinds ``self.state``, and the pathological-retry path must
+    not hold a second full state replica at 2M+ scale)."""
     lane_st = jax.tree.map(lambda a: a[lane], st)
     lane_st, leaf = tree_mod._insert_one(lane_st, x, key, cfg,
                                          max_steps=max_steps)
@@ -405,38 +418,33 @@ class VForest:
         Rb = max(8, 1 << (R_full - 1).bit_length()) if R_full else 8
         # grow NOW so the real add sees the same (already-grown) shapes
         self._ensure_capacity(R_full + 1)
-        # Warm against the REAL state, not a copy: the masks are all-off
-        # (pad deltas are no-ops) and every output is discarded, while the
-        # jitted program takes no donate_argnums so the input buffers stay
-        # valid.  A throwaway copy held a 3rd full state replica and OOM'd
-        # the chip at K=512 x 2M sentences (state ~4.5 GB; real + copy +
-        # program output > HBM).  Peak is now input + output = 2 replicas.
-        throw = self.state
+        # Warm against the REAL state: the masks are all-off (pad deltas
+        # are no-ops), so the output state is semantically identical to the
+        # input and we simply REBIND self.state to it each call.  The
+        # program donates its input state (donate_argnums), so XLA aliases
+        # input->output and warmup peaks at ~1 full state replica — a
+        # throwaway copy used to hold a 3rd replica and OOM'd the chip at
+        # K=512 x 2M sentences (state ~4.5 GB).  Rebinding is mandatory
+        # under donation: the passed-in buffers are consumed on TPU.
         keys = jax.random.split(jax.random.PRNGKey(0), K * Rb).reshape(
             K, Rb, -1)
         zeros = jnp.zeros((K, Rb, D), jnp.float32)
         for budget in {self._budget, *budgets}:
-            out = vinsert_rounds_masked(
-                throw, zeros, keys, jnp.zeros((K, Rb), bool), self.cfg,
+            self.state, _ = vinsert_rounds_masked(
+                self.state, zeros, keys, jnp.zeros((K, Rb), bool), self.cfg,
                 n_rounds=jnp.asarray(1, jnp.int32), max_steps=budget)
-            jax.block_until_ready(out[0].counts)
-            # free THIS program's output state before dispatching the next
-            # one: a held reference keeps a full (K, cap, D) replica alive
-            # through the next call — at K=512 x 2M that third replica
-            # OOM'd the chip between retry waves
-            del out
+            jax.block_until_ready(self.state.counts)
             _log(f"masked rounds Rb={Rb} budget={budget}")
         # deep retry waves: bucketed pending shapes, all-off masks
         for R2b in (4, 8, 16, 32):
             if R2b > Rb:
                 break
-            out = vinsert_rounds_masked(
-                throw, zeros[:, :R2b], keys[:, :R2b],
+            self.state, _ = vinsert_rounds_masked(
+                self.state, zeros[:, :R2b], keys[:, :R2b],
                 jnp.zeros((K, R2b), bool), self.cfg,
                 n_rounds=jnp.asarray(1, jnp.int32),
                 max_steps=_DEEP_STEPS)
-            jax.block_until_ready(out[0].counts)
-            del out
+            jax.block_until_ready(self.state.counts)
             _log(f"retry wave R2b={R2b}")
         return _time.perf_counter() - t0
 
