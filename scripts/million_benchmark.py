@@ -44,6 +44,13 @@ def main():
                    help="skip the blocked-index ablation rows (the fused "
                         "engine is the serving path; the bf16 blocked "
                         "replica is ~2.3 GB/1M rows and OOMs at 2M)")
+    p.add_argument("--cache-size", type=int, default=None,
+                   help="generate/load the whitened cache at this corpus "
+                        "size (>= --size) so one big cache serves several "
+                        "run sizes; checkpoints slice it")
+    p.add_argument("--gen-only", action="store_true",
+                   help="write the whitened data cache and exit (lets the "
+                        "single-core generation run ahead of timed builds)")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -63,11 +70,13 @@ def main():
     sizes = sorted(int(s) for s in args.checkpoints.split(","))
     sizes = [s for s in sizes if s <= args.size]
     pca_dim = args.pca_dim if args.pca_dim < 1 else int(args.pca_dim)
+    cache_size = args.cache_size or args.size
+    assert cache_size >= args.size
 
     # single-core synthetic generation + whitening cost ~15 min at 1M;
     # cache the whitened arrays (reference embedding-cache pattern,
     # benchmark_utils.py:143-168)
-    cache = (f"/tmp/mb_cache_{args.dataset}_s{args.size}_q{args.queries}"
+    cache = (f"/tmp/mb_cache_{args.dataset}_s{cache_size}_q{args.queries}"
              f"_d{args.dim}_p{pca_dim}.npz")
     if os.path.exists(cache):
         t0 = time.perf_counter()
@@ -80,12 +89,12 @@ def main():
         t0 = time.perf_counter()
         if args.dataset == "hard":
             data = synthetic_retrieval_hard(
-                args.size, args.queries, args.dim,
-                n_clusters=max(256, args.size // 1024))
+                cache_size, args.queries, args.dim,
+                n_clusters=max(256, cache_size // 1024))
         else:
             data = synthetic_retrieval(
-                args.size, args.queries, args.dim,
-                n_clusters=max(1024, args.size // 256))
+                cache_size, args.queries, args.dim,
+                n_clusters=max(1024, cache_size // 256))
         target_ids = data.target_ids
         print(f"[1m] synthetic data {data.corpus_embs.shape}: "
               f"{time.perf_counter()-t0:.1f}s", flush=True)
@@ -108,6 +117,10 @@ def main():
               f"{time.perf_counter()-t0:.1f}s", flush=True)
         np.savez(cache, corpus_w=corpus_w, queries_w=queries_w,
                  target_ids=target_ids)
+
+    if args.gen_only:
+        print(f"[1m] gen-only: cache ready at {cache}", flush=True)
+        return
 
     K = args.vforest
     D = corpus_w.shape[1]
