@@ -1089,6 +1089,153 @@ def build_fused_index(index: PredictionIndex,
     return FusedIndex(GT=GT, c=c, valid=valid)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("P", "prior_var", "acuity", "dtype"))
+def _fused_block_from_state(counts, means, m2s, parent, leaf_block, lw,
+                            P: int, prior_var: float, acuity: bool,
+                            dtype: str):
+    """ONE sentence block of the stats-free fused build: chase each leaf's
+    parent chain in GLOBAL state-id space (lane * cap + local), derive the
+    per-node GEMM terms ON THE FLY from the raw forest statistics, and
+    accumulate the fused coefficients — the ``(D, N_nodes)``
+    inv_var/mu_over_var arrays of the flatten path are never materialized
+    (at 4M sentences they alone are ~8 GB of HBM next to an ~8.6 GB forest
+    state).  Per-node math mirrors ``_compact_stats_device`` exactly;
+    weights mirror the flatten's ``lw[level]/path_len`` (chains run
+    leaf->root, so the level of hop p is ``plen - 1 - p`` — the weighted
+    SUM is order-free).
+
+    Returns ``(G (2D, Bs) dtype, c (Bs,) f32, done bool)`` where ``done``
+    is False iff some chain did not reach a root within ``P`` hops (the
+    caller escalates P).  ``leaf_block`` rows < 0 are padding (zero
+    coefficients)."""
+    K, cap, D = means.shape
+    cf = jnp.reshape(counts, (K * cap,))
+    mf = jnp.reshape(means, (K * cap, D))
+    m2f = jnp.reshape(m2s, (K * cap, D))
+    pf = jnp.reshape(parent, (K * cap,))
+
+    def step(cur, _):
+        lane = jnp.where(cur >= 0, cur // cap, 0)
+        loc = pf[jnp.maximum(cur, 0)]
+        nxt = jnp.where((cur >= 0) & (loc >= 0), loc + lane * cap,
+                        jnp.int32(-1))
+        return nxt, cur
+
+    cur, chains = jax.lax.scan(step, leaf_block.astype(jnp.int32), None,
+                               length=P)
+    chains = chains.T                                    # (Bs, P) leaf->root
+    done = jnp.all(cur < 0)
+    plen = jnp.sum(chains >= 0, axis=1).astype(jnp.int32)
+    inv_plen = jnp.where(plen > 0,
+                         1.0 / jnp.maximum(plen, 1).astype(jnp.float32), 0.0)
+
+    def hop(p, acc):
+        A, Bm, c = acc
+        ids = jax.lax.dynamic_index_in_dim(chains, p, axis=1, keepdims=False)
+        ok = ids >= 0
+        safe = jnp.maximum(ids, 0)
+        cnt = cf[safe]
+        mu = mf[safe]
+        m2 = m2f[safe]
+        sc = jnp.where(cnt > 0, cnt, 1.0)[:, None]
+        ml = m2 / sc
+        if acuity:
+            v = jnp.maximum(ml, prior_var)
+        else:
+            v = ml + prior_var
+        v = jnp.where(cnt[:, None] > 0, v, prior_var)
+        inv = 1.0 / v
+        mov = mu * inv
+        cns = -0.5 * (jnp.sum(jnp.square(mu) * inv, axis=-1)
+                      + jnp.sum(jnp.log(v), axis=-1))
+        lvl = jnp.clip(plen - 1 - p, 0, P - 1)
+        w = jnp.where(ok, lw[lvl] * inv_plen, 0.0)
+        A = A + w[:, None] * mov
+        Bm = Bm + w[:, None] * inv
+        c = c + w * cns
+        return A, Bm, c
+
+    Bs = leaf_block.shape[0]
+    A, Bm, c = jax.lax.fori_loop(
+        0, P, hop,
+        (jnp.zeros((Bs, D), jnp.float32), jnp.zeros((Bs, D), jnp.float32),
+         jnp.zeros((Bs,), jnp.float32)))
+    G = jnp.concatenate([A, -0.5 * Bm], axis=1)          # (Bs, 2D)
+    return G.T.astype(jnp.dtype(dtype)), c, done
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _fused_write_block(GT, c, Gb, cb, start):
+    """Write one block's coefficients into the preallocated fused arrays
+    (donated: XLA updates in place — no second GT replica at scale)."""
+    GT = jax.lax.dynamic_update_slice(GT, Gb, (0, start))
+    c = jax.lax.dynamic_update_slice(c, cb, (start,))
+    return GT, c
+
+
+def build_fused_from_state(cfg, stacked_state, leaf_global: np.ndarray,
+                           level_weights: Sequence[float]
+                           = DEFAULT_LEVEL_WEIGHTS,
+                           dtype=jnp.float32,
+                           block: int = 1 << 19,
+                           chase_depth: int = 32) -> FusedIndex:
+    """FusedIndex straight from a stacked forest state — the STATS-FREE
+    build: no PredictionIndex, no BFS numbering, no ``(D, N_nodes)``
+    stats arrays.  Equivalent (same scores) to
+    ``build_fused_index(build_flat_forest_index(...))`` but its device
+    working set is one sentence block at a time next to the resident
+    state, which is what lets a 4M-sentence forest build its serving
+    index inside one v5e chip's HBM.
+
+    ``leaf_global[s]`` is ``lane * cap + local_leaf`` (as in
+    ``build_flat_forest_index``); ``chase_depth`` is the starting parent-
+    chase scan budget, doubled automatically until every chain reaches a
+    root.  Matches the reference's prediction-index scoring
+    (CobwebWrapper.py:91-208) through the same fused association as
+    ``build_fused_index``."""
+    pt = _PhaseTimer("fused-state")
+    S = int(len(leaf_global))
+    Bs = int(min(block, max(_FUSED_ROW_BUCKET,
+                            -(-max(S, 1) // _FUSED_ROW_BUCKET)
+                            * _FUSED_ROW_BUCKET)))
+    Bs = -(-Bs // _FUSED_ROW_BUCKET) * _FUSED_ROW_BUCKET
+    n_blocks = -(-max(S, 1) // Bs)
+    Sp = n_blocks * Bs
+    leaf_pad = np.full((Sp,), -1, np.int64)
+    leaf_pad[:S] = np.asarray(leaf_global, np.int64)
+    # leaf ids are lane*cap + local: int32 is safe up to 2^31 slots
+    # (K=512 x cap 16k = 8.4M at 4M sentences — far below); assert anyway
+    if Sp and leaf_pad.max(initial=-1) >= np.iinfo(np.int32).max:
+        raise ValueError("forest slot ids overflow int32")
+    leaf_pad = leaf_pad.astype(np.int32)
+
+    st = stacked_state
+    D = int(st.means.shape[-1])
+    P = max(8, -(-int(chase_depth) // 8) * 8)
+    GT = jnp.zeros((2 * D, Sp), jnp.dtype(dtype))
+    c = jnp.zeros((Sp,), jnp.float32)
+    s0 = 0
+    while s0 < Sp:
+        lw = np.ones((P,), np.float32)
+        lw[: min(len(level_weights), P)] = np.asarray(
+            list(level_weights)[:P], np.float32)
+        Gb, cb, done = _fused_block_from_state(
+            st.counts, st.means, st.m2s, st.parent,
+            jnp.asarray(leaf_pad[s0:s0 + Bs]), jnp.asarray(lw),
+            P, float(cfg.prior_var), bool(cfg.acuity_cutoff),
+            jnp.dtype(dtype).name)
+        if not bool(done):          # chain deeper than the scan: escalate
+            P *= 2
+            continue
+        GT, c = _fused_write_block(GT, c, Gb, cb,
+                                   jnp.asarray(s0, jnp.int32))
+        s0 += Bs
+    valid = (jnp.arange(Sp, dtype=jnp.int32) < S)
+    pt.lap("blocks", sync=c)
+    return FusedIndex(GT=GT, c=c, valid=valid)
+
+
 def fused_scores(fidx: FusedIndex, queries: jnp.ndarray,
                  score_dtype: str = "float32") -> jnp.ndarray:
     """(B, D) -> (B, Sp) path scores via one GEMM.  f32 indexes contract

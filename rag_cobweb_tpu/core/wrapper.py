@@ -163,8 +163,18 @@ class CobwebIndex:
         # O(N) rebuild; a full rebuild happens once pending exceeds
         # ``stale_pending_limit`` or an exact-index consumer runs.
         n_new = len(self.sentences) - n0
-        has_stale = (self._flat_cache is not None if self.forest is not None
-                     else self._index is not None)
+        if self.forest is not None:
+            # the stats-free fused index alone can stale-serve when the
+            # exact re-rank store exists (its _rerank_step never touches
+            # the flat index) — without this, fused-only serving would
+            # fall back to invalidate-per-add, the reference's
+            # rebuild-per-mutation anti-pattern (CobwebWrapper.py:82-91)
+            has_stale = (self._flat_cache is not None
+                         or (getattr(self, "_fused", None) is not None
+                             and self.store_embeddings
+                             and bool(self._vec_chunks)))
+        else:
+            has_stale = self._index is not None
         n_indexed = n0 - self._unindexed_count()
         rebuild_at = max(self.delta_rebuild_min,
                          int(self.delta_rebuild_frac * max(n_indexed, 1)))
@@ -368,8 +378,13 @@ class CobwebIndex:
         prediction index.  With a pending buffer active, the retained
         STALE flat index serves (pending rows merge by closed form)."""
         if self.forest is not None:
-            if self._unindexed_count() and self._flat_cache is not None:
-                return self._flat_cache
+            if self._unindexed_count():
+                if self._flat_cache is not None:
+                    return self._flat_cache
+                # no retained snapshot to serve (fused-only staleness):
+                # a rebuild covers the pending rows, so their bookkeeping
+                # must clear — otherwise _merge_pending double-counts them
+                self._flush_pending()
             self._flat_cache = self.forest.flat_index()
             return self._flat_cache
         return self.build_prediction_index()
@@ -415,15 +430,29 @@ class CobwebIndex:
 
     def _fused_index(self, exact: bool = False) -> index_mod.FusedIndex:
         import jax.numpy as jnp
-        if exact and self.fused_dtype != "float32":
-            if getattr(self, "_fused_f32", None) is None:
-                self._fused_f32 = index_mod.build_fused_index(
-                    self._flat_pred_index())
-            return self._fused_f32
-        if getattr(self, "_fused", None) is None:
-            self._fused = index_mod.build_fused_index(
-                self._flat_pred_index(), dtype=jnp.dtype(self.fused_dtype))
-        return self._fused
+        attr = ("_fused_f32" if exact and self.fused_dtype != "float32"
+                else "_fused")
+        dtype = (jnp.float32 if attr == "_fused_f32"
+                 else jnp.dtype(self.fused_dtype))
+        if getattr(self, attr, None) is None:
+            if self.forest is not None and self._flat_cache is None:
+                # STATS-FREE build straight from the forest state
+                # (index.build_fused_from_state): no flatten, no (D, N)
+                # node-stats arrays — at 4M sentences those alone are
+                # ~8 GB next to the resident state.  Only valid on a
+                # fresh snapshot: with pending rows the serving index
+                # must pin the OLD snapshot, which only the retained
+                # flat cache represents (and pending only ever accrues
+                # while a serving index exists, so this flush is the
+                # no-serving-index-yet edge, not a rebuild cliff).
+                if self._unindexed_count():
+                    self._flush_pending()
+                setattr(self, attr,
+                        self.forest.fused_index(dtype=dtype))
+            else:
+                setattr(self, attr, index_mod.build_fused_index(
+                    self._flat_pred_index(), dtype=dtype))
+        return getattr(self, attr)
 
     # path-score ranking loses recall against the leaf-lp key wherever the
     # corpus is hard: on the calibrated-hard synthetic at 10k, rerank=0
@@ -476,11 +505,18 @@ class CobwebIndex:
 
         This is the engine ``predict_fast`` itself serves (the reference's
         fast path is its default, CobwebWrapper.py:428 — ours must not hide
-        the fastest engine behind a script)."""
-        idx = self._flat_pred_index()
+        the fastest engine behind a script).
+
+        The fused + exact-re-rank route (the default at scale) never
+        touches the flat PredictionIndex — with the stats-free fused
+        build (forest mode) the serving working set is the fused
+        coefficients + stored embeddings only; the flat index is built
+        lazily just for the engines that structurally need it."""
+        n_indexed = self._indexed_count()
         if len(self.sentences) >= self.blocked_threshold and not tie_noise:
             if self.use_pallas and len(self.sentences) >= self.pallas_threshold:
-                out = self._pallas_topk(self._blocked_index(), idx, q, kk,
+                out = self._pallas_topk(self._blocked_index(),
+                                        self._flat_pred_index(), q, kk,
                                         rerank)
                 if out is not None:
                     return out
@@ -488,10 +524,10 @@ class CobwebIndex:
                 if rerank:
                     cs, cand = self._fused_chunked(
                         self._fused_index(), q,
-                        min(max(rerank, kk), idx.num_sentences),
+                        min(max(rerank, kk), n_indexed),
                         approx=self.approx_pool,
                         score_dtype=self.fused_score_dtype)
-                    return self._rerank_step(idx, q, cand, cs, kk)
+                    return self._rerank_step(None, q, cand, cs, kk)
                 # rerank=0 contract: exact raw path-score ORDER -> f32 index
                 return self._fused_chunked(
                     self._fused_index(exact=True), q, kk, approx=False,
@@ -499,13 +535,14 @@ class CobwebIndex:
             if rerank:
                 cs, cand = index_mod.blocked_query_topk(
                     self._blocked_index(), q,
-                    min(max(rerank, kk), idx.num_sentences),
+                    min(max(rerank, kk), n_indexed),
                     approx=self.approx_pool,
                     recall_target=self.approx_recall_target)
-                return self._rerank_step(idx, q, cand, cs, kk)
+                return self._rerank_step(None, q, cand, cs, kk)
             # rerank=0 contract: exact raw path-score ORDER -> f32 index
             return index_mod.blocked_query_topk(
                 self._blocked_index(exact=True), q, kk)
+        idx = self._flat_pred_index()
         if rerank and not tie_noise:
             c = min(max(rerank, kk), idx.num_sentences)
             cs, cand = index_mod.query_topk(idx, q, c)
@@ -514,17 +551,26 @@ class CobwebIndex:
                if tie_noise else None)
         return index_mod.query_topk(idx, q, kk, key)
 
+    def _indexed_count(self) -> int:
+        """Sentences covered by the current serving index (pending/delta
+        rows are merged separately by their closed form)."""
+        return len(self.sentences) - self._unindexed_count()
+
     def _rerank_step(self, idx, q, cand, cand_scores, kk: int):
         """Final candidate re-rank: EXACT (stored-embedding L2, the
         ``pending_leaf_lp`` closed form) when the vector store is
         available, else leaf log-prob.  Exact makes the engine lossless
         w.r.t. whitened exact search whenever the gold is in the pool —
-        leaf-lp cannot order same-leaf near-duplicates (identical lp)."""
+        leaf-lp cannot order same-leaf near-duplicates (identical lp).
+        ``idx=None``: build the flat index lazily only if the leaf-lp
+        fallback actually runs (the exact branch never needs it)."""
         emb = self._emb_device()
         if emb is not None:
             return index_mod.exact_rerank(
                 emb, q, cand.astype(jnp.int32), cand_scores, kk,
                 jnp.float32(self.cfg.prior_var))
+        if idx is None:
+            idx = self._flat_pred_index()
         return index_mod._leaf_lp_rerank(idx, q, cand.astype(jnp.int32),
                                          cand_scores, kk)
 
@@ -662,8 +708,7 @@ class CobwebIndex:
         # stale-serve: indexed candidates + exact closed-form pending/delta
         # pools merge by the shared key — still EXACT ranking semantics
         rerank = rerank or self.rerank_candidates
-        idx = self._flat_pred_index()
-        kk_old = min(kk, idx.num_sentences)
+        kk_old = min(kk, self._indexed_count())
         top_s, top_ids = self._engine_topk(q, kk_old, rerank,
                                            tie_noise=False)
         return jnp.asarray(self._merge_pending(q, top_s, top_ids, kk))
@@ -708,9 +753,7 @@ class CobwebIndex:
             # the same scale the pending/delta pools produce, so the merge
             # is exact
             rerank = rerank or self.rerank_candidates
-        idx = self._flat_pred_index()
-        n_indexed = idx.num_sentences
-        kk_old = min(kk, n_indexed)
+        kk_old = min(kk, self._indexed_count())
         top_s, top_ids = self._engine_topk(q, kk_old, rerank, tie_noise)
         if self._unindexed_count():
             top_ids = self._merge_pending(q, top_s, top_ids, kk)

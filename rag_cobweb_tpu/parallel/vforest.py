@@ -847,15 +847,7 @@ class VForest:
             # children/parent for the host structure pass and keeps the
             # stats in HBM (a full device_get here is ~2.6 GB d2h at 1M)
             st = self.state
-            cap = int(st.counts.shape[1])
-            n_local = max(
-                (len(l) for l in self._leaf_of_local), default=0)
-            leaf_mat = np.full((self.K, max(n_local, 1)), -1, np.int64)
-            for s, lst in enumerate(self._leaf_of_local):
-                leaf_mat[s, :len(lst)] = lst
-            shard = np.asarray(self.shard_of, np.int64)
-            local = np.asarray(self.local_sid, np.int64)
-            leaf_global = shard * cap + leaf_mat[shard, local]
+            leaf_global = self._leaf_global()
             on_device = (isinstance(st.means, jax.Array)
                          and st.means.size >= (1 << 24)
                          and next(iter(st.means.devices())).platform
@@ -865,6 +857,37 @@ class VForest:
             self._flat_index = index_mod.build_flat_forest_index(
                 self.cfg, st, leaf_global, host_struct=host_struct)
         return self._flat_index
+
+    def _leaf_global(self) -> np.ndarray:
+        """(S,) global leaf slot per sentence: ``lane * cap + local_leaf``
+        — the sentence->leaf map every flat/fused builder consumes."""
+        cap = int(self.state.counts.shape[1])
+        n_local = max((len(l) for l in self._leaf_of_local), default=0)
+        leaf_mat = np.full((self.K, max(n_local, 1)), -1, np.int64)
+        for s, lst in enumerate(self._leaf_of_local):
+            leaf_mat[s, :len(lst)] = lst
+        shard = np.asarray(self.shard_of, np.int64)
+        local = np.asarray(self.local_sid, np.int64)
+        return shard * cap + leaf_mat[shard, local]
+
+    def fused_index(self, dtype=jnp.float32) -> "index_mod.FusedIndex":
+        """FusedIndex over the CURRENT forest, built STATS-FREE straight
+        from the stacked state (core/index.build_fused_from_state): no
+        flatten, no ``(D, N_nodes)`` stats arrays — the serving-index
+        build whose HBM working set stays one sentence block next to the
+        resident state.  Scores match
+        ``build_fused_index(self.flat_index())`` (same association).
+
+        Not cached here: the wrapper owns fused-index caching and
+        invalidation (CobwebIndex._fused_index)."""
+        chase = 32
+        if self.cfg.absorb_depth:
+            # chains are depth-bounded by the leaf-absorb compaction;
+            # start the scan just above the bound to avoid one escalation
+            chase = max(chase, self.cfg.absorb_depth + 8)
+        return index_mod.build_fused_from_state(
+            self.cfg, self.state, self._leaf_global(), dtype=dtype,
+            chase_depth=chase)
 
     def query_topk(self, queries: np.ndarray, k: int):
         idx = self.build_index()

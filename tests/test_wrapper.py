@@ -336,7 +336,11 @@ def test_forest_stale_pending_add_then_query():
     db = CobwebIndex(corpus_embeddings=base, config=TreeConfig(dim=D),
                      n_subtrees=4)
     db.blocked_threshold = 64          # force the flat-index regime
-    db.predict_fast(base[0], k=3, is_embedding=True)   # builds flat cache
+    # pin the FLAT route (the default forest engine is now the stats-free
+    # fused build, covered by test_fused_state.py — this test keeps the
+    # retained-flat stale path honest)
+    db._flat_pred_index()
+    db.predict_fast(base[0], k=3, is_embedding=True)
     assert db._flat_cache is not None
 
     flat_before = db._flat_cache
@@ -383,6 +387,7 @@ def test_tiered_delta_kills_pending_overflow_cliff():
     db.blocked_threshold = 64          # force the flat-index regime
     db.stale_pending_limit = 32        # shrink the tiers for test speed
     db.delta_rebuild_min = 128
+    db._flat_pred_index()              # pin the flat route (see above test)
     db.predict_fast(base[0], k=3, is_embedding=True)
     flat_before = db._flat_cache
     assert flat_before is not None
