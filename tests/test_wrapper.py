@@ -425,3 +425,98 @@ def test_tiered_delta_kills_pending_overflow_cliff():
     got = db.predict_fast(big[0], k=3, is_embedding=True, return_ids=True,
                           rerank=256)
     assert got[0] == sid0 + 60, got
+
+
+def _whitener_fixture(rng, n=160, d_raw=48):
+    """Anisotropic clustered corpus + a fitted PCA+ICA whitener whose
+    output dim is SMALLER than the raw dim (exercises the raw-vs-tree
+    space split the wrapper owns)."""
+    from rag_cobweb_tpu.whitening import PCAICAWhiteningModel
+    centers = rng.normal(scale=4.0, size=(8, d_raw))
+    scale = np.exp(rng.normal(scale=1.0, size=d_raw))  # anisotropic
+    embs = np.concatenate([
+        c + 0.3 * scale * rng.normal(size=(n // 8, d_raw)) for c in centers
+    ]).astype(np.float32)
+    wh = PCAICAWhiteningModel.fit(embs, pca_dim=0.9, ica_max_iter=200)
+    return embs, wh
+
+
+def test_whitener_owned_wrapper_matches_raw_exact():
+    """With ``whitener=`` attached the wrapper owns the transform: RAW
+    embeddings in, tree + pool in whitened space, exact re-rank in RAW
+    space — so with a covering pool the final ranking equals exact RAW
+    search (reference splits this across BaseBenchmark + the wrapper;
+    base_benchmark.py:100-127)."""
+    rng = np.random.default_rng(3)
+    embs, wh = _whitener_fixture(rng)
+    assert np.asarray(wh.transform(embs[:1])).shape[-1] < embs.shape[1]
+    db = CobwebIndex([f"s{i}" for i in range(len(embs))], embs,
+                     whitener=wh)
+    assert db.cfg.dim == np.asarray(wh.transform(embs[:1])).shape[-1]
+
+    # raw-space exact reference ranking (L2)
+    q = embs[:6] + 0.05 * rng.normal(size=(6, embs.shape[1])
+                                     ).astype(np.float32)
+    d2 = ((q[:, None, :] - embs[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1, kind="stable")[:, :5]
+
+    got = np.asarray(db.query_ids(q, k=5, rerank=len(embs)))
+    assert (got == want).all(), (got[:2], want[:2])
+
+    # predict_fast surface takes RAW embeddings too
+    out = db.predict_fast(q[0], k=3, is_embedding=True, return_ids=True)
+    assert out[0] == want[0, 0]
+
+
+def test_whitener_stale_add_then_query_exact():
+    """Pending rows in whitener mode key by the RAW-space closed form —
+    the same key the exact re-rank produces — so stale merges stay exact
+    and fresh rows win their own queries at top-1."""
+    rng = np.random.default_rng(4)
+    embs, wh = _whitener_fixture(rng)
+    db = CobwebIndex(corpus_embeddings=embs, whitener=wh)
+    db.blocked_threshold = 32          # force the indexed regime
+    db._flat_pred_index()
+    db.predict_fast(embs[0], k=3, is_embedding=True)
+
+    fresh = embs[:8] + np.float32(40.0)
+    db.add_sentences([None] * 8, fresh)
+    assert db._unindexed_count() == 8
+    ids = np.asarray(db.query_ids(fresh[:4], k=1))
+    assert ids[:, 0].tolist() == [len(embs) + i for i in range(4)]
+    # old rows still serve from the stale index
+    got = np.asarray(db.query_ids(embs[9:10], k=3))
+    assert 9 in got[0]
+
+
+def test_whitener_no_store_disables_stale_serving():
+    """Without the vector store the pending closed form (RAW space) is
+    not comparable to the leaf-lp fallback (tree space): the wrapper must
+    rebuild instead of stale-serving."""
+    rng = np.random.default_rng(5)
+    embs, wh = _whitener_fixture(rng)
+    db = CobwebIndex(corpus_embeddings=embs, whitener=wh)
+    db.store_embeddings = False
+    db._vec_chunks = []
+    db.blocked_threshold = 32
+    db._flat_pred_index()
+    db.add_sentences([None] * 4, embs[:4] + np.float32(30.0))
+    assert db._unindexed_count() == 0, "must rebuild, not stale-serve"
+
+
+def test_whitener_npz_round_trip(tmp_path):
+    """save()/load() round-trips the attached whitener (pickled into the
+    npz extras) for both single-tree and forest wrappers; loaded wrappers
+    keep accepting RAW queries."""
+    rng = np.random.default_rng(6)
+    embs, wh = _whitener_fixture(rng)
+    for n_sub in (1, 4):
+        db = CobwebIndex([f"s{i}" for i in range(len(embs))], embs,
+                         whitener=wh, n_subtrees=n_sub)
+        want = np.asarray(db.query_ids(embs[:4], k=3, rerank=64))
+        p = str(tmp_path / f"wh{n_sub}.npz")
+        db.save(p)
+        db2 = CobwebIndex.load(p)
+        assert db2.whitener is not None
+        got = np.asarray(db2.query_ids(embs[:4], k=3, rerank=64))
+        assert (got == want).all()
