@@ -43,9 +43,11 @@ def main():
     ap.add_argument("--pca-dim", type=float, default=0.96,
                     help="PCA dim (int) or variance fraction (<1); the "
                          "reference's callers use 0.90/0.96 fractions. "
-                         "0.96 keeps dim ~248 at D=768: whitened-exact "
-                         "0.895 vs raw-exact 0.906 on the hard set, and "
-                         "the engine serves within 0.001 of that ceiling")
+                         "0.96 keeps dim ~248 at D=768; the wrapper-owned "
+                         "RAW-space exact re-rank removes the whitening "
+                         "information loss from the final ranking, so the "
+                         "delta vs raw exact is ~0.000 despite the "
+                         "whitened-exact ceiling being 0.895")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--dataset", choices=["hard", "easy"], default="hard",
@@ -57,8 +59,10 @@ def main():
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip insert-program pre-compilation (the compile "
                          "then lands inside build_total_s)")
-    ap.add_argument("--rerank", type=int, default=None,
-                    help="leaf-lp re-rank pool (None = auto)")
+    ap.add_argument("--rerank", type=int, default=1024,
+                    help="exact re-rank candidate-pool size (pool_sweep: "
+                         "512 leaves +0.002 delta, 1024 reaches 0.000 at "
+                         "the same latency); 0 = off, -1 = wrapper auto")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -87,10 +91,13 @@ def main():
         pca_dim=(args.pca_dim if args.pca_dim < 1 else int(args.pca_dim)),
         ica_max_iter=500, seed=0, ica_sample_size=10000,
     )
-    corpus_w = whitener.transform(data.corpus_embs)
-    queries_w = whitener.transform(data.query_embs)
-    log(f"[bench] PCA+ICA fit+transform: {time.perf_counter()-t0:.1f}s "
-        f"-> dim {corpus_w.shape[1]}")
+    log(f"[bench] PCA+ICA fit: {time.perf_counter()-t0:.1f}s "
+        f"-> dim {whitener.dim_out}")
+    rerank = None if args.rerank == -1 else args.rerank
+    # wrapper-owned whitening: RAW embeddings in, tree + pool in whitened
+    # space, exact re-rank in RAW space (core/wrapper.py CobwebIndex)
+    corpus = data.corpus_embs
+    queries = data.query_embs
 
     n_lanes = args.vforest
     if n_lanes < 0:
@@ -99,51 +106,52 @@ def main():
 
     if n_lanes > 1:
         db = CobwebIndex(
-            config=TreeConfig(dim=corpus_w.shape[1]),
-            capacity=4 * len(corpus_w) + 16, n_subtrees=n_lanes,
+            config=TreeConfig(dim=whitener.dim_out),
+            capacity=4 * len(corpus) + 16, n_subtrees=n_lanes,
+            whitener=whitener,
         )
         if not args.no_warmup:
-            compile_s = db.forest.warmup_insert_programs(len(corpus_w))
+            compile_s = db.forest.warmup_insert_programs(len(corpus))
             log(f"[bench] insert-program warmup (compile): {compile_s:.1f}s")
         t0 = time.perf_counter()
-        db.add_sentences([None] * len(corpus_w), corpus_w)
+        db.add_sentences([None] * len(corpus), corpus)
         build_s = time.perf_counter() - t0
-        rate = len(corpus_w) / build_s
+        rate = len(corpus) / build_s
     else:
         # single-tree path: two stages so steady-state is visible
-        warm_n = min(2048, len(corpus_w))
+        warm_n = min(2048, len(corpus))
         t0 = time.perf_counter()
         db = CobwebIndex(
-            corpus=None, corpus_embeddings=corpus_w[:warm_n],
-            config=TreeConfig(dim=corpus_w.shape[1]),
-            capacity=4 * len(corpus_w) + 16,
+            corpus=None, corpus_embeddings=corpus[:warm_n],
+            config=TreeConfig(dim=whitener.dim_out),
+            capacity=4 * len(corpus) + 16, whitener=whitener,
         )
         warm_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        if len(corpus_w) > warm_n:
-            db.add_sentences([None] * (len(corpus_w) - warm_n),
-                             corpus_w[warm_n:])
+        if len(corpus) > warm_n:
+            db.add_sentences([None] * (len(corpus) - warm_n),
+                             corpus[warm_n:])
         steady_s = max(time.perf_counter() - t0, 1e-9)
         build_s = warm_s + steady_s
-        rate = (len(corpus_w) - warm_n) / steady_s if \
-            len(corpus_w) > warm_n else warm_n / warm_s
+        rate = (len(corpus) - warm_n) / steady_s if \
+            len(corpus) > warm_n else warm_n / warm_s
         compile_s = warm_s
     log(f"[bench] tree build: {build_s:.1f}s ({rate:.0f} inserts/s"
         + (f"; compile/warmup {compile_s:.1f}s excluded" if n_lanes > 1
-           else f", first {min(2048, len(corpus_w))} incl. compile")
+           else f", first {min(2048, len(corpus))} incl. compile")
         + ")")
 
     # index build (flatten + blocked) happens inside the evaluator's
     # untimed warmup call; time it here explicitly for visibility
     t0 = time.perf_counter()
-    db.query_ids(queries_w[:8], args.k, rerank=args.rerank)
+    db.query_ids(queries[:8], args.k, rerank=rerank)
     index_s = time.perf_counter() - t0
     log(f"[bench] index build + engine warmup: {index_s:.1f}s")
 
     res = evaluate_retrieval(
         "Cobweb PCA+ICA Fast (TPU)",
-        lambda q, k: db.query_ids(q, k, rerank=args.rerank),
-        queries_w, data.target_ids, args.k, batch_size=args.batch,
+        lambda q, k: db.query_ids(q, k, rerank=rerank),
+        queries, data.target_ids, args.k, batch_size=args.batch,
     )
     log(f"[bench] cobweb: recall@10={res.get('recall@10'):.4f} "
         f"latency={res['avg_latency_ms']:.3f} ms/query "

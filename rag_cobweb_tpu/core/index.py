@@ -599,7 +599,17 @@ def exact_rerank(emb: jnp.ndarray, queries: jnp.ndarray,
     drowned among its planted dups (0.858 vs whitened-exact 0.915 at
     d=563).
 
-    emb: (S, D) stored corpus embeddings; returns (scores, ids) (B, k)."""
+    Jitted: the diff/square/reduce chain fuses into the gather's consumer
+    so only the (B, C, D) gather output materializes (eager, the same
+    chain round-tripped ~19 GB of HBM per 1k-query batch).  The diff form
+    is kept over the dot form deliberately — near-duplicate margins are
+    tiny relative to ||x||^2, and the dot form's cancellation loses them.
+    Compiles are keyed on emb.shape, so callers keep the store capacity
+    BUCKETED (wrapper._emb_device) — otherwise every add recompiles.
+
+    emb: (S, D) stored corpus embeddings (rows past the valid count are
+    never referenced: cand ids are < the live sentence count); returns
+    (scores, ids) (B, k)."""
     x = emb[cand]                                   # (B, C, D)
     d2 = jnp.sum(jnp.square(queries[:, None, :] - x), -1)
     lp = -0.5 * (d2 / prior_var

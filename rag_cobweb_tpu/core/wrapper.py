@@ -19,6 +19,7 @@ import numpy as np
 
 from rag_cobweb_tpu.core.config import TreeConfig
 from rag_cobweb_tpu.core import index as index_mod
+from rag_cobweb_tpu.core import tree as tree_mod
 from rag_cobweb_tpu.core.tree import CobwebTree
 
 
@@ -247,20 +248,36 @@ class CobwebIndex:
         self.store_embeddings = True
         self._vec_chunks: list = []
         self._emb_dev_cache = None
+        self._emb_dev_n = 0
 
     def _emb_device(self):
-        """(S, D) stored embeddings on device, or None when unavailable
-        (store disabled, or a checkpoint loaded without vectors)."""
+        """(cap, D) stored embeddings on device, or None when unavailable
+        (store disabled, or a checkpoint loaded without vectors).  Rows at
+        or past the live sentence count are ZERO PADDING: the capacity is
+        bucketed (1.25x geometric growth, tile-aligned via
+        tree.align_capacity) because the jitted exact re-rank compiles per
+        emb shape — an exact-sized store would recompile through the
+        remote compile service on every add batch.  Padding rows are never
+        gathered (candidate ids are always < the live count); the host
+        ``_vec_chunks`` store stays exact-sized for checkpoints."""
         if not self.store_embeddings or not self._vec_chunks:
             return None
-        if (self._emb_dev_cache is None
-                or self._emb_dev_cache.shape[0] != len(self.sentences)):
+        n = len(self.sentences)
+        if self._emb_dev_cache is None or self._emb_dev_n != n:
             if len(self._vec_chunks) > 1:
                 self._vec_chunks = [np.concatenate(self._vec_chunks)]
             host = self._vec_chunks[0]
-            if host.shape[0] != len(self.sentences):
+            if host.shape[0] != n:
                 return None
+            cap = getattr(self, "_emb_dev_cap", 0)
+            if cap < n:
+                cap = tree_mod.align_capacity(max(n, int(cap * 1.25), 4096))
+                self._emb_dev_cap = cap
+            if cap > n:
+                host = np.concatenate(
+                    [host, np.zeros((cap - n, host.shape[1]), host.dtype)])
             self._emb_dev_cache = jnp.asarray(host)
+            self._emb_dev_n = n
         return self._emb_dev_cache
 
     def _init_pending(self):
@@ -413,15 +430,29 @@ class CobwebIndex:
             arr = np.asarray(self.encode_func(texts), np.float32)
         if arr.ndim == 1:
             arr = arr[None, :]
-        if self.whitener is not None:
-            qt = jnp.asarray(np.asarray(self.whitener.transform(arr),
-                                        np.float32))
-        else:
-            qt = jnp.asarray(arr)
+        # ONE host->device upload per batch: the raw batch lands on device
+        # first and whitening runs from the device copy.  Uploading the
+        # raw batch twice (whiten input + q_store) measured ~104 ms extra
+        # per 1k x 768 batch through the relay (scripts/transfer_probe.py)
+        # — the transfer, not the whitening matmul (~0 ms), is the cost.
+        dev = jnp.asarray(arr)
+        qt = self._whiten_device(dev) if self.whitener is not None else dev
         if with_store:
-            qs = jnp.asarray(arr) if self.whitener is not None else qt
-            return qt, qs, single
+            return qt, dev, single
         return qt, single
+
+    def _whiten_device(self, arr):
+        """RAW -> tree-space query batch ON DEVICE: the fused one-matmul
+        ``transform_jit`` keeps per-batch whitening off the single host
+        core (host numpy costs ~0.1 ms/query at D=768).  Duck-typed
+        whiteners without ``transform_jit`` fall back to the host path
+        (which round-trips through host memory)."""
+        t = getattr(self.whitener, "transform_jit", None)
+        if t is not None:
+            return t(arr if isinstance(arr, jnp.ndarray)
+                     else jnp.asarray(np.asarray(arr, np.float32)))
+        return jnp.asarray(np.asarray(
+            self.whitener.transform(np.asarray(arr)), np.float32))
 
     def _flat_pred_index(self) -> index_mod.PredictionIndex:
         """A flat PredictionIndex over GLOBAL sentence ids — the structure
@@ -535,6 +566,9 @@ class CobwebIndex:
     # traffic) so large serving batches cannot OOM the chip
     # (B=2048 x 1M f32 = 8.2 GB of scores did, RESULTS.md)
     fused_score_budget = 2 << 30
+    # byte budget for the exact re-rank's (B, C, D) candidate gather —
+    # at B=4096 x pool 1024 x D=768 the unchunked gather alone is 12.9 GB
+    rerank_gather_budget = 2 << 30
     # opt-in: serve the fused Pallas sweep (ops/pallas_query) above
     # pallas_threshold sentences instead of the XLA blocked path.  The
     # kernel's VMEM streaming beat the EXACT-epilogue XLA path at 1M
@@ -625,10 +659,36 @@ class CobwebIndex:
         exact branch never needs it)."""
         emb = self._emb_device()
         if emb is not None:
-            return index_mod.exact_rerank(
-                emb, q if q_store is None else q_store,
-                cand.astype(jnp.int32), cand_scores, kk,
-                jnp.float32(self.cfg.prior_var))
+            qs = q if q_store is None else q_store
+            cand = cand.astype(jnp.int32)
+            pv = jnp.float32(self.cfg.prior_var)
+            B, C = cand.shape
+            row = C * emb.shape[1] * 4
+            bmax = max(32, int(self.rerank_gather_budget) // max(row, 1))
+            if bmax >= B:
+                return index_mod.exact_rerank(emb, qs, cand, cand_scores,
+                                              kk, pv)
+            # chunk the query batch so the (Bc, C, D) candidate gather
+            # stays under rerank_gather_budget bytes; power-of-two chunks
+            # + padded tail reuse one compiled program (cf. _fused_chunked)
+            bmax = 1 << (bmax.bit_length() - 1)
+            outs = []
+            for s in range(0, B, bmax):
+                qc = qs[s:s + bmax]
+                cc = cand[s:s + bmax]
+                sc = cand_scores[s:s + bmax]
+                n = qc.shape[0]
+                if n < bmax:
+                    qc = jnp.concatenate(
+                        [qc, jnp.zeros((bmax - n, qs.shape[1]), qs.dtype)])
+                    cc = jnp.concatenate(
+                        [cc, jnp.zeros((bmax - n, C), cc.dtype)])
+                    sc = jnp.concatenate(
+                        [sc, jnp.full((bmax - n, C), -jnp.inf, sc.dtype)])
+                t, i = index_mod.exact_rerank(emb, qc, cc, sc, kk, pv)
+                outs.append((t[:n], i[:n]))
+            return (jnp.concatenate([o[0] for o in outs]),
+                    jnp.concatenate([o[1] for o in outs]))
         if idx is None:
             idx = self._flat_pred_index()
         return index_mod._leaf_lp_rerank(idx, q, cand.astype(jnp.int32),
@@ -763,11 +823,7 @@ class CobwebIndex:
         the device array lets evaluators pipeline batches without a host
         sync per batch."""
         qs = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
-        if self.whitener is not None:
-            q = jnp.asarray(np.asarray(
-                self.whitener.transform(np.asarray(qs)), np.float32))
-        else:
-            q = qs
+        q = self._whiten_device(qs) if self.whitener is not None else qs
         kk = min(k, len(self.sentences))
         if (self.forest is not None
                 and len(self.sentences) < self.blocked_threshold):

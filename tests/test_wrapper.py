@@ -520,3 +520,21 @@ def test_whitener_npz_round_trip(tmp_path):
         assert db2.whitener is not None
         got = np.asarray(db2.query_ids(embs[:4], k=3, rerank=64))
         assert (got == want).all()
+
+
+def test_chunked_rerank_matches_unchunked():
+    """A tiny ``rerank_gather_budget`` forces the exact re-rank's query
+    batch to chunk (power-of-two chunks + zero-padded tail); results must
+    be bit-identical to the unchunked gather.  Regression for the (B, C,
+    D) candidate-gather budget path in ``CobwebIndex._rerank_step``."""
+    rng = np.random.default_rng(7)
+    embs, wh = _whitener_fixture(rng)
+    db = CobwebIndex([f"s{i}" for i in range(len(embs))], embs,
+                     whitener=wh)
+    # 13 queries: non-power-of-two so the padded-tail branch executes
+    q = embs[:13] + 0.05 * rng.normal(size=(13, embs.shape[1])
+                                      ).astype(np.float32)
+    want = np.asarray(db.query_ids(q, k=5, rerank=64))
+    db.rerank_gather_budget = 64 * embs.shape[1] * 4 * 4  # bmax -> 4
+    got = np.asarray(db.query_ids(q, k=5, rerank=64))
+    assert (got == want).all()
