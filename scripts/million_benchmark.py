@@ -48,6 +48,15 @@ def main():
                    help="generate/load the whitened cache at this corpus "
                         "size (>= --size) so one big cache serves several "
                         "run sizes; checkpoints slice it")
+    p.add_argument("--raw-store", action="store_true",
+                   help="wrapper-owned whitening mode: the index takes RAW "
+                        "embeddings (CobwebIndex(whitener=...)), the tree + "
+                        "candidate pool run in whitened space, and the "
+                        "final re-rank keys on the stored RAW vectors — "
+                        "removes the whitening loss from the served "
+                        "ranking (bench.py measures delta 0.000 vs raw "
+                        "exact at c=10k).  Uses a separate raw cache "
+                        "(corpus + queries + pickled whitener)")
     p.add_argument("--gen-only", action="store_true",
                    help="write the whitened data cache and exit (lets the "
                         "single-core generation run ahead of timed builds)")
@@ -73,19 +82,7 @@ def main():
     cache_size = args.cache_size or args.size
     assert cache_size >= args.size
 
-    # single-core synthetic generation + whitening cost ~15 min at 1M;
-    # cache the whitened arrays (reference embedding-cache pattern,
-    # benchmark_utils.py:143-168)
-    cache = (f"/tmp/mb_cache_{args.dataset}_s{cache_size}_q{args.queries}"
-             f"_d{args.dim}_p{pca_dim}.npz")
-    if os.path.exists(cache):
-        t0 = time.perf_counter()
-        with np.load(cache) as z:
-            corpus_w, queries_w = z["corpus_w"], z["queries_w"]
-            target_ids = z["target_ids"]
-        print(f"[1m] cached whitened data {corpus_w.shape}: "
-              f"{time.perf_counter()-t0:.1f}s", flush=True)
-    else:
+    def gen_data():
         t0 = time.perf_counter()
         if args.dataset == "hard":
             data = synthetic_retrieval_hard(
@@ -95,39 +92,93 @@ def main():
             data = synthetic_retrieval(
                 cache_size, args.queries, args.dim,
                 n_clusters=max(1024, cache_size // 256))
-        target_ids = data.target_ids
         print(f"[1m] synthetic data {data.corpus_embs.shape}: "
               f"{time.perf_counter()-t0:.1f}s", flush=True)
-
         t0 = time.perf_counter()
         wh = PCAICAWhiteningModel.fit(
             data.corpus_embs[:100_000], pca_dim=pca_dim,
             ica_max_iter=300, ica_sample_size=20000,
         )
-        # transform on device in chunks (host matmul is single-core)
-        def transform_dev(X, chunk=131072):
-            outs = []
-            for s in range(0, len(X), chunk):
-                outs.append(np.asarray(
-                    wh.transform_jit(jnp.asarray(X[s:s+chunk]))))
-            return np.concatenate(outs)
-        corpus_w = transform_dev(data.corpus_embs)
-        queries_w = transform_dev(data.query_embs)
-        print(f"[1m] whiten fit+transform -> {corpus_w.shape}: "
+        print(f"[1m] whiten fit -> dim {wh.dim_out}: "
               f"{time.perf_counter()-t0:.1f}s", flush=True)
-        np.savez(cache, corpus_w=corpus_w, queries_w=queries_w,
-                 target_ids=target_ids)
+        return data, wh
+
+    def transform_dev(wh, X, chunk=131072):
+        # transform on device in chunks (host matmul is single-core)
+        outs = []
+        for s in range(0, len(X), chunk):
+            outs.append(np.asarray(
+                wh.transform_jit(jnp.asarray(X[s:s+chunk]))))
+        return np.concatenate(outs)
+
+    # single-core synthetic generation + whitening cost ~15 min at 1M;
+    # cache the arrays (reference embedding-cache pattern,
+    # benchmark_utils.py:143-168).  --raw-store keeps RAW corpus/queries +
+    # the pickled whitener (the wrapper whitens; the exact re-rank keys on
+    # the stored raw rows); the default cache keeps whitened arrays only.
+    whitener = None
+    if args.raw_store:
+        import pickle
+        cache = (f"/tmp/mb_cache_raw_{args.dataset}_s{cache_size}"
+                 f"_q{args.queries}_d{args.dim}_p{pca_dim}.npz")
+        if os.path.exists(cache):
+            t0 = time.perf_counter()
+            with np.load(cache) as z:
+                corpus_feed, queries_feed = z["corpus"], z["queries"]
+                target_ids = z["target_ids"]
+                whitener = pickle.loads(z["whitener_pickle"].tobytes())
+            print(f"[1m] cached raw data {corpus_feed.shape}: "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
+        else:
+            data, whitener = gen_data()
+            corpus_feed = np.asarray(data.corpus_embs, np.float32)
+            queries_feed = np.asarray(data.query_embs, np.float32)
+            target_ids = data.target_ids
+            np.savez(cache, corpus=corpus_feed, queries=queries_feed,
+                     target_ids=target_ids,
+                     whitener_pickle=np.frombuffer(
+                         pickle.dumps(whitener), np.uint8))
+        if not args.gen_only:
+            # whitened views for the ablation engines + the whitened-exact
+            # ceiling row (~15 s at 1M through the relay, once)
+            t0 = time.perf_counter()
+            corpus_w = transform_dev(whitener, corpus_feed[:args.size])
+            queries_w = transform_dev(whitener, queries_feed)
+            print(f"[1m] whitened views {corpus_w.shape}: "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
+    else:
+        cache = (f"/tmp/mb_cache_{args.dataset}_s{cache_size}"
+                 f"_q{args.queries}_d{args.dim}_p{pca_dim}.npz")
+        if os.path.exists(cache):
+            t0 = time.perf_counter()
+            with np.load(cache) as z:
+                corpus_w, queries_w = z["corpus_w"], z["queries_w"]
+                target_ids = z["target_ids"]
+            print(f"[1m] cached whitened data {corpus_w.shape}: "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
+        else:
+            data, wh = gen_data()
+            t0 = time.perf_counter()
+            corpus_w = transform_dev(wh, data.corpus_embs)
+            queries_w = transform_dev(wh, data.query_embs)
+            target_ids = data.target_ids
+            print(f"[1m] whiten transform -> {corpus_w.shape}: "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
+            np.savez(cache, corpus_w=corpus_w, queries_w=queries_w,
+                     target_ids=target_ids)
+        corpus_feed, queries_feed = corpus_w, queries_w
 
     if args.gen_only:
         print(f"[1m] gen-only: cache ready at {cache}", flush=True)
         return
 
     K = args.vforest
-    D = corpus_w.shape[1]
+    D = corpus_w.shape[1]           # tree (whitened) dim
+    D_store = corpus_feed.shape[1]  # store dim (raw encoder dim if --raw-store)
     chunk = K * 128
     db = CobwebIndex(config=TreeConfig(dim=D),
                      capacity=K * max(2048, (2 * args.size) // K + 64),
-                     n_subtrees=K, seed=0)
+                     n_subtrees=K, seed=0, whitener=whitener)
     t0 = time.perf_counter()
     db.forest.warmup_insert_programs(chunk)
     print(f"[1m] insert-program warmup: {time.perf_counter()-t0:.1f}s",
@@ -139,7 +190,7 @@ def main():
         t0 = time.perf_counter()
         while inserted < size:
             n = min(chunk, size - inserted)
-            db.add_sentences([None] * n, corpus_w[inserted:inserted + n])
+            db.add_sentences([None] * n, corpus_feed[inserted:inserted + n])
             inserted += n
         build_s = time.perf_counter() - t0
         prev = results[-1]["size"] if results else 0
@@ -176,29 +227,39 @@ def main():
               flush=True)
 
         mask = target_ids < size
-        q = queries_w[mask]
+        q = queries_feed[mask]   # store space: RAW if --raw-store
         gold = target_ids[mask]
+
+        def split_spaces(qb):
+            # ablation engines sweep in TREE (whitened) space; the exact
+            # re-rank keys on STORE space.  Without a whitener both are
+            # the same batch (q_store=None -> _rerank_step reuses q).
+            dev = jnp.asarray(qb)
+            if db.whitener is None:
+                return dev, None
+            return db._whiten_device(dev), dev
 
         row = {"size": size, "insert_rate": round(rate, 1),
                "build_s": round(build_s, 1),
                "flatten_s": round(flat_s, 2),
                "blocked_build_s": round(blocked_s, 2), **row_extra}
 
-        def run_eval(name, fn, model=None, required=False):
+        def run_eval(name, fn, model=None, required=False, q_eval=None):
             # ablation rows degrade gracefully on HBM exhaustion (the
             # product row is required); keeps large-batch runs crash-safe
             if not required:
                 try:
-                    return _run_eval_inner(name, fn, model)
+                    return _run_eval_inner(name, fn, model, q_eval)
                 except Exception as e:
                     print(f"[1m]   {name}: skipped "
                           f"({type(e).__name__})", flush=True)
                     return
-            return _run_eval_inner(name, fn, model)
+            return _run_eval_inner(name, fn, model, q_eval)
 
-        def _run_eval_inner(name, fn, model=None):
-            r = evaluate_retrieval(name, fn, q, gold, args.k,
-                                   batch_size=args.batch)
+        def _run_eval_inner(name, fn, model=None, q_eval=None):
+            r = evaluate_retrieval(name, fn,
+                                   q if q_eval is None else q_eval,
+                                   gold, args.k, batch_size=args.batch)
             row[f"{name}_recall@{args.k}"] = round(
                 r.get(f"recall@{args.k}", 0.0), 4)
             row[f"{name}_ms"] = round(r["avg_latency_ms"], 4)
@@ -236,10 +297,11 @@ def main():
         # ablation: the round-3 blocked engine (bf16 blocked sweep +
         # approx pool + exact re-rank) — what the fused association saves
         def bf16_blocked_approx(qb, k):
+            qw, qs = split_spaces(qb)
             cs, cand = index_mod.blocked_query_topk(
-                bidx, jnp.asarray(qb), max(k, args.rerank), approx=True,
+                bidx, qw, max(k, args.rerank), approx=True,
                 recall_target=db.approx_recall_target)
-            return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
+            return db._rerank_step(flat, qw, cand, cs, k, q_store=qs)[1]
 
         if bidx is not None:
             run_eval("bf16_blocked_approx_rerank", bf16_blocked_approx,
@@ -253,9 +315,10 @@ def main():
         # alone approaches HBM (it OOM'd at B=2048 x 500k next to the
         # forest + blocked replicas)
         def fused_exact_epilogue(qb, k):
+            qw, qs = split_spaces(qb)
             cs, cand = index_mod.fused_query_topk(
-                db._fused_index(), jnp.asarray(qb), max(k, args.rerank))
-            return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
+                db._fused_index(), qw, max(k, args.rerank))
+            return db._rerank_step(flat, qw, cand, cs, k, q_store=qs)[1]
 
         if args.batch * size > 512_000_000:
             print("[1m]   fused_exact_epilogue_rerank: skipped "
@@ -265,7 +328,7 @@ def main():
                      rl.model_for_fused_index(db._fused_index(), args.batch))
         del fused_exact_epilogue
 
-        # gate the exact-flat baseline by its device footprint, not a row
+        # gate the exact-flat baselines by device footprint, not a row
         # count: the whitened corpus at 2M x 128 f32 is ~1 GB, fine once
         # --no-blocked frees the blocked replicas
         if size * D * 4 <= 1_600_000_000:
@@ -277,8 +340,23 @@ def main():
             else:
                 run_eval("flat_exact_whitened",
                          lambda qb, k: flat_base.search_device(qb, k),
-                         rl.exact_flat_model(args.batch, size, D))
+                         rl.exact_flat_model(args.batch, size, D),
+                         q_eval=queries_w[mask])
                 del flat_base
+        # --raw-store: the served ranking's TRUE ceiling — exact flat over
+        # the raw stored rows (what the wrapper's raw-space re-rank
+        # approaches when the gold lands in the candidate pool)
+        if args.raw_store and size * D_store * 4 <= 3_400_000_000:
+            try:
+                flat_raw = FlatIndex(corpus_feed[:size], metric="l2")
+            except Exception as e:
+                print(f"[1m]   flat_exact_raw: skipped "
+                      f"({type(e).__name__})", flush=True)
+            else:
+                run_eval("flat_exact_raw",
+                         lambda qb, k: flat_raw.search_device(qb, k),
+                         rl.exact_flat_model(args.batch, size, D_store))
+                del flat_raw
 
         # f32 comparison rows (the pre-bf16 serving formulation), built on
         # demand and freed after; at 1M the f32 index is ~5.4 GB next to
@@ -289,10 +367,11 @@ def main():
             b32 = db._blocked_index(exact=True)
 
             def f32_approx(qb, k):
+                qw, qs = split_spaces(qb)
                 cs, cand = index_mod.blocked_query_topk(
-                    b32, jnp.asarray(qb), max(k, args.rerank), approx=True,
+                    b32, qw, max(k, args.rerank), approx=True,
                     recall_target=db.approx_recall_target)
-                return db._rerank_step(flat, jnp.asarray(qb), cand, cs, k)[1]
+                return db._rerank_step(flat, qw, cand, cs, k, q_store=qs)[1]
 
             run_eval("xla_f32_approx_rerank", f32_approx,
                      rl.model_for_blocked_index(b32, args.batch,
