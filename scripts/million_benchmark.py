@@ -57,6 +57,13 @@ def main():
                         "ranking (bench.py measures delta 0.000 vs raw "
                         "exact at c=10k).  Uses a separate raw cache "
                         "(corpus + queries + pickled whitener)")
+    p.add_argument("--fused-only", action="store_true",
+                   help="skip the flat PredictionIndex build too (implies "
+                        "--no-blocked): the fused + exact-re-rank serving "
+                        "path is flat-free (stats-free fused build from "
+                        "the forest state), and at 4M the flat (D, N) "
+                        "stats arrays alone are ~5 GB next to a ~9 GB "
+                        "forest state")
     p.add_argument("--gen-only", action="store_true",
                    help="write the whitened data cache and exit (lets the "
                         "single-core generation run ahead of timed builds)")
@@ -196,9 +203,14 @@ def main():
         prev = results[-1]["size"] if results else 0
         rate = (size - prev) / build_s if build_s > 0 else 0
 
+        if args.fused_only:
+            args.no_blocked = True
         os.environ["RAG_COBWEB_TPU_INDEX_TIMING"] = "1"
         t0 = time.perf_counter()
-        flat = db._flat_pred_index()
+        # --fused-only: the serving path never touches the flat index
+        # (wrapper._engine_topk; exact re-rank keys on the emb store) —
+        # ablation rows pass idx=None and _rerank_step stays flat-free
+        flat = None if args.fused_only else db._flat_pred_index()
         flat_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         # the blocked index is ablation-only since the fused engine became
@@ -222,8 +234,9 @@ def main():
         blk = ("no-blocked" if bidx is None else
                f"blocked {blocked_s:.1f}s (NB={bidx.ivt_b.shape[0]} "
                f"M={bidx.ivt_b.shape[1]})")
+        nodes = "fused-only" if flat is None else f"nodes {flat.num_nodes}"
         print(f"[1m] c={size}: build {build_s:.1f}s ({rate:.0f}/s), "
-              f"flatten {flat_s:.1f}s, {blk}, nodes {flat.num_nodes}",
+              f"flatten {flat_s:.1f}s, {blk}, {nodes}",
               flush=True)
 
         mask = target_ids < size
