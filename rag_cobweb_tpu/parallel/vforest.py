@@ -356,10 +356,27 @@ class VForest:
         self._route_count = np.zeros(n_subtrees, np.int64)
         self._lane_total = np.zeros(n_subtrees, np.int64)
         self._route_rng = np.random.default_rng(seed ^ 0x5EED)
-        states = [tree_mod.init_state(capacity_per_tree, cfg.dim,
-                                      cfg.max_fanout)
-                  for _ in range(n_subtrees)]
-        self.state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        # Allocate the stacked (K, cap, ...) state DIRECTLY: stacking K
+        # per-tree init_state copies held a 2x transient on device (both
+        # the K separates and the stacked replica alive at once), which
+        # OOM'd the ctor at K=512 x 4M sentences (~8.5 GB state).  Every
+        # lane's init is the same constant fill (tree.init_state), so the
+        # one-shot form is exact.
+        cap = tree_mod.align_capacity(capacity_per_tree)
+        K, D, F = n_subtrees, cfg.dim, cfg.max_fanout
+        NULL = tree_mod.NULL
+        self.state = tree_mod.TreeState(
+            counts=jnp.zeros((K, cap), jnp.float32),
+            means=jnp.zeros((K, cap, D), jnp.float32),
+            m2s=jnp.zeros((K, cap, D), jnp.float32),
+            parent=jnp.full((K, cap), NULL, jnp.int32),
+            children=jnp.full((K, cap, F), NULL, jnp.int32),
+            n_children=jnp.zeros((K, cap), jnp.int32),
+            root=jnp.zeros((K,), jnp.int32),
+            n_alloc=jnp.ones((K,), jnp.int32),
+            free_stack=jnp.full((K, cap), NULL, jnp.int32),
+            free_top=jnp.zeros((K,), jnp.int32),
+        )
         self._key = jax.random.PRNGKey(seed)
         self.n_sentences = 0
         self.shard_of: list[int] = []
