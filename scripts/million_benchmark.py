@@ -57,6 +57,11 @@ def main():
                         "ranking (bench.py measures delta 0.000 vs raw "
                         "exact at c=10k).  Uses a separate raw cache "
                         "(corpus + queries + pickled whitener)")
+    p.add_argument("--slots-per-sentence", type=float, default=2.0,
+                   help="forest node-slot capacity per sentence (nodes/"
+                        "sentence measured ~1.25 on the hard set at 1M; "
+                        "1.5 recovers ~2.2 GB of state at 4M — mind the "
+                        "2x grow transient if a lane overflows)")
     p.add_argument("--fused-only", action="store_true",
                    help="skip the flat PredictionIndex build too (implies "
                         "--no-blocked): the fused + exact-re-rank serving "
@@ -183,8 +188,9 @@ def main():
     D = corpus_w.shape[1]           # tree (whitened) dim
     D_store = corpus_feed.shape[1]  # store dim (raw encoder dim if --raw-store)
     chunk = K * 128
+    slots = int(args.slots_per_sentence * args.size)
     db = CobwebIndex(config=TreeConfig(dim=D),
-                     capacity=K * max(2048, (2 * args.size) // K + 64),
+                     capacity=K * max(2048, slots // K + 64),
                      n_subtrees=K, seed=0, whitener=whitener)
     t0 = time.perf_counter()
     db.forest.warmup_insert_programs(chunk)
@@ -231,6 +237,12 @@ def main():
               f"({row_extra['fused_index_mb']} MB) — serving needs only "
               f"flatten+fused; the blocked build below is ablation-only",
               flush=True)
+        try:
+            print(f"[1m] pre-eval device bytes "
+                  f"{sum(a.nbytes for a in jax.live_arrays())/1e9:.2f} GB",
+                  flush=True)
+        except Exception:
+            pass
         blk = ("no-blocked" if bidx is None else
                f"blocked {blocked_s:.1f}s (NB={bidx.ivt_b.shape[0]} "
                f"M={bidx.ivt_b.shape[1]})")
@@ -402,6 +414,21 @@ def main():
         del bidx, flat, fidx
         db._invalidate_index()
         db._emb_dev_cache = None
+        # the flatten diff snapshot keeps DEVICE copies of children/parent
+        # (~0.6 GB at 4M); freeing it costs one full struct re-sync at the
+        # next index build but gives the next insert phase every byte
+        db.forest._struct_snap = None
+        db.forest._struct_host = None
+        import gc
+        gc.collect()
+        try:
+            live = sorted(((a.nbytes,) + (tuple(a.shape), str(a.dtype))
+                           for a in jax.live_arrays()), reverse=True)
+            print(f"[1m] post-eval device residue "
+                  f"{sum(x[0] for x in live)/1e9:.2f} GB; "
+                  f"top {live[:5]}", flush=True)
+        except Exception:
+            pass
         results.append(row)
         print(json.dumps(row), flush=True)
         if args.out:  # partial write per checkpoint (crash-safe)
