@@ -197,13 +197,37 @@ def main():
     print(f"[1m] insert-program warmup: {time.perf_counter()-t0:.1f}s",
           flush=True)
 
+    def drain_async_errors():
+        # a CAUGHT device OOM (graceful ablation-row degradation) can
+        # leave deferred errors from already-enqueued ops: they surface
+        # at the NEXT dispatch (both 4M attempts died at the first
+        # post-checkpoint add's key split).  Dispatch+sync tiny ops until
+        # one comes back clean.
+        for _ in range(8):
+            try:
+                jnp.zeros(8).block_until_ready()
+                return
+            except Exception:
+                time.sleep(2)
+
     results = []
     inserted = 0
     for size in sizes:
         t0 = time.perf_counter()
         while inserted < size:
             n = min(chunk, size - inserted)
-            db.add_sentences([None] * n, corpus_feed[inserted:inserted + n])
+            batch = corpus_feed[inserted:inserted + n]
+            for attempt in range(3):
+                try:
+                    db.add_sentences([None] * n, batch)
+                    break
+                except Exception as e:
+                    if attempt == 2:
+                        raise
+                    print(f"[1m] add retry after {type(e).__name__}",
+                          flush=True)
+                    drain_async_errors()
+                    time.sleep(10)
             inserted += n
         build_s = time.perf_counter() - t0
         prev = results[-1]["size"] if results else 0
@@ -278,6 +302,7 @@ def main():
                 except Exception as e:
                     print(f"[1m]   {name}: skipped "
                           f"({type(e).__name__})", flush=True)
+                    drain_async_errors()
                     return
             return _run_eval_inner(name, fn, model, q_eval)
 
@@ -362,6 +387,7 @@ def main():
             except Exception as e:
                 print(f"[1m]   flat_exact_whitened: skipped "
                       f"({type(e).__name__})", flush=True)
+                drain_async_errors()
             else:
                 run_eval("flat_exact_whitened",
                          lambda qb, k: flat_base.search_device(qb, k),
@@ -377,6 +403,7 @@ def main():
             except Exception as e:
                 print(f"[1m]   flat_exact_raw: skipped "
                       f"({type(e).__name__})", flush=True)
+                drain_async_errors()
             else:
                 run_eval("flat_exact_raw",
                          lambda qb, k: flat_raw.search_device(qb, k),
@@ -405,6 +432,7 @@ def main():
         except Exception as e:  # HBM exhaustion: skip, keep results
             print(f"[1m]   f32 rows skipped ({type(e).__name__})",
                   flush=True)
+            drain_async_errors()
         db._blocked_f32 = None
         # drop this checkpoint's index replicas BEFORE the next insert
         # phase: the forest state realloc at 1M needs headroom, and the
