@@ -227,6 +227,11 @@ def main():
                     print(f"[1m] add retry after {type(e).__name__}",
                           flush=True)
                     drain_async_errors()
+                    # the jit executable cache pins device buffers (incl.
+                    # captured constants) for every program the eval
+                    # compiled; dropping it frees them (re-compiles go
+                    # through the persistent compile cache)
+                    jax.clear_caches()
                     time.sleep(10)
             inserted += n
         build_s = time.perf_counter() - t0
