@@ -13,9 +13,13 @@ def enable_persistent_cache(path: str | None = None,
                             min_compile_secs: float = 0.3) -> None:
     import jax
 
-    path = path or os.environ.get(
-        "RAG_COBWEB_TPU_JAX_CACHE", "/tmp/rag_cobweb_tpu_jax_cache"
-    )
+    # default the cache INSIDE the repo (gitignored): /tmp does not
+    # survive environment restarts, and a wiped cache re-pays the remote
+    # compile service's 2 s - 5 min per program on the next run
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    path = path or os.environ.get("RAG_COBWEB_TPU_JAX_CACHE", default)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
