@@ -103,14 +103,23 @@ def evaluate_retrieval(name: str, retrieve_fn, query_embs: np.ndarray,
     for s, n, ids in host_results:
         all_ids[s:s + n, : ids.shape[1]] = ids
 
-    # latency: one synchronous single-batch round trip (median of 5)
-    lat_chunk = next(batches())[2]
+    # latency: synchronous single-batch round trips over DISTINCT batches
+    # (median of 5).  Dispatching the SAME chunk repeatedly understates
+    # real serving latency: identical uploads dedupe through the device
+    # relay (scripts/transfer_probe.py measured repeat-uploads ~free), so
+    # each probe rotates the query set by a different offset — same
+    # bucketed shape, different buffer content, no recompile.
+    bs = min(batch_size, B) if B else 0
     lats = []
-    for _ in range(5):
+    for i in range(5):
+        if bs == 0:
+            break
+        idx = (np.arange(bs) + (i * B) // 5) % B
+        lat_chunk = np.ascontiguousarray(query_embs[idx])
         t1 = time.perf_counter()
         np.asarray(retrieve_fn(lat_chunk, top_k))
         lats.append(time.perf_counter() - t1)
-    batch_latency = float(np.median(lats))
+    batch_latency = float(np.median(lats)) if lats else 0.0
 
     out = retrieval_metrics(all_ids, target_ids, top_k, k_values)
     out["method"] = name

@@ -144,6 +144,15 @@ def vinsert_masked_round(st, xs: jnp.ndarray, keys: jax.Array,
 
 
 _DEEP_STEPS = 48  # retry-wave scan budget (covers ~all mature descents)
+# Single bucketed retry-wave width: every deep-retry call shares ONE
+# (K, _RETRY_W, D) program shape regardless of how many descents the
+# primary budget truncated (chunked into multiple waves when a lane has
+# more pendings).  The old power-of-2 ladder (4/8/16/32) compiled four
+# distinct programs through the remote compile service — most of the
+# round-3 warmup tail (BENCH_r03: four retry waves, ~30 s on top of the
+# primary program).  n_rounds is dynamic, so a wide-but-short wave costs
+# only the (negligible) padded h2d, not extra device rounds.
+_RETRY_W = 32
 # Exact-path scan cap.  MUST comfortably exceed any reachable descent
 # depth: content routing concentrates whole near-duplicate groups into
 # one lane, whose fringe chains produce descents FAR past _DEEP_STEPS
@@ -452,17 +461,18 @@ class VForest:
                 n_rounds=jnp.asarray(1, jnp.int32), max_steps=budget)
             jax.block_until_ready(self.state.counts)
             _log(f"masked rounds Rb={Rb} budget={budget}")
-        # deep retry waves: bucketed pending shapes, all-off masks
-        for R2b in (4, 8, 16, 32):
-            if R2b > Rb:
-                break
-            self.state, _ = vinsert_rounds_masked(
-                self.state, zeros[:, :R2b], keys[:, :R2b],
-                jnp.zeros((K, R2b), bool), self.cfg,
-                n_rounds=jnp.asarray(1, jnp.int32),
-                max_steps=_DEEP_STEPS)
-            jax.block_until_ready(self.state.counts)
-            _log(f"retry wave R2b={R2b}")
+        # the (single) deep retry-wave program: _RETRY_W-wide, all-off mask
+        if Rb >= _RETRY_W:
+            rz, rk = zeros[:, :_RETRY_W], keys[:, :_RETRY_W]
+        else:
+            rz = jnp.zeros((K, _RETRY_W, D), jnp.float32)
+            rk = jax.random.split(
+                jax.random.PRNGKey(1), K * _RETRY_W).reshape(K, _RETRY_W, -1)
+        self.state, _ = vinsert_rounds_masked(
+            self.state, rz, rk, jnp.zeros((K, _RETRY_W), bool), self.cfg,
+            n_rounds=jnp.asarray(1, jnp.int32), max_steps=_DEEP_STEPS)
+        jax.block_until_ready(self.state.counts)
+        _log(f"retry wave W={_RETRY_W}")
         return _time.perf_counter() - t0
 
     def _sync_host_structure(self):
@@ -769,42 +779,53 @@ class VForest:
             keys_np = np.asarray(keys_kr)
             pend = need.sum(1)
             R2 = int(pend.max())
-            R2b = max(4, 1 << (R2 - 1).bit_length())     # bucketed shape
             D = xs_kr.shape[2]
-            xs2 = np.zeros((K, R2b, D), np.float32)
-            keys2 = np.zeros((K, R2b, keys_np.shape[2]), keys_np.dtype)
-            mask2 = np.zeros((K, R2b), bool)
-            src = np.zeros((K, R2b), np.int64)
-            for s in range(K):
-                idx = np.nonzero(need[s])[0]
-                if len(idx):
-                    xs2[s, :len(idx)] = xs_kr[s, idx]
-                    keys2[s, :len(idx)] = keys_np[s, idx]
-                    mask2[s, :len(idx)] = True
-                    src[s, :len(idx)] = idx
-            self.state, leaf2 = vinsert_rounds_masked(
-                self.state, jnp.asarray(xs2), jnp.asarray(keys2),
-                jnp.asarray(mask2), self.cfg,
-                n_rounds=jnp.asarray(R2, jnp.int32), max_steps=_DEEP_STEPS,
-            )
-            leaf2 = np.asarray(leaf2)
-            rows, cols = np.nonzero(mask2 & (leaf2 >= 0))
-            leaves[rows, src[rows, cols]] = leaf2[rows, cols]
-            # pathological >_DEEP_STEPS descents: exact path, one-off,
-            # with the _EXACT_STEPS cap (deep near-dup fringe chains)
-            for s, c in np.argwhere(mask2 & (leaf2 < 0)):
-                self.state, lf = _insert_one_lane(
-                    self.state, jnp.asarray(int(s), jnp.int32),
-                    jnp.asarray(xs2[s, c]), jnp.asarray(keys2[s, c]),
-                    self.cfg,
+            pend_idx = [np.nonzero(need[s])[0] for s in range(K)]
+            # ONE bucketed program shape for every wave (see _RETRY_W);
+            # a lane with more than _RETRY_W pendings runs extra waves
+            for w0 in range(0, R2, _RETRY_W):
+                xs2 = np.zeros((K, _RETRY_W, D), np.float32)
+                keys2 = np.zeros((K, _RETRY_W, keys_np.shape[2]),
+                                 keys_np.dtype)
+                mask2 = np.zeros((K, _RETRY_W), bool)
+                src = np.zeros((K, _RETRY_W), np.int64)
+                wave_max = 0
+                for s in range(K):
+                    idx = pend_idx[s][w0:w0 + _RETRY_W]
+                    if len(idx):
+                        xs2[s, :len(idx)] = xs_kr[s, idx]
+                        keys2[s, :len(idx)] = keys_np[s, idx]
+                        mask2[s, :len(idx)] = True
+                        src[s, :len(idx)] = idx
+                        wave_max = max(wave_max, len(idx))
+                if not wave_max:
+                    break
+                self.state, leaf2 = vinsert_rounds_masked(
+                    self.state, jnp.asarray(xs2), jnp.asarray(keys2),
+                    jnp.asarray(mask2), self.cfg,
+                    n_rounds=jnp.asarray(wave_max, jnp.int32),
+                    max_steps=_DEEP_STEPS,
                 )
-                if int(lf) < 0:
-                    # never record -1: the sentence would silently become
-                    # unretrievable (and flat-index builds reject it)
-                    raise RuntimeError(
-                        f"insert descent exceeded _EXACT_STEPS="
-                        f"{_EXACT_STEPS} in lane {int(s)} — raise the cap")
-                leaves[s, src[s, c]] = int(lf)
+                leaf2 = np.asarray(leaf2)
+                rows, cols = np.nonzero(mask2 & (leaf2 >= 0))
+                leaves[rows, src[rows, cols]] = leaf2[rows, cols]
+                # pathological >_DEEP_STEPS descents: exact path, one-off,
+                # with the _EXACT_STEPS cap (deep near-dup fringe chains)
+                for s, c in np.argwhere(mask2 & (leaf2 < 0)):
+                    self.state, lf = _insert_one_lane(
+                        self.state, jnp.asarray(int(s), jnp.int32),
+                        jnp.asarray(xs2[s, c]), jnp.asarray(keys2[s, c]),
+                        self.cfg,
+                    )
+                    if int(lf) < 0:
+                        # never record -1: the sentence would silently
+                        # become unretrievable (and flat-index builds
+                        # reject it)
+                        raise RuntimeError(
+                            f"insert descent exceeded _EXACT_STEPS="
+                            f"{_EXACT_STEPS} in lane {int(s)} — raise the "
+                            f"cap")
+                    leaves[s, src[s, c]] = int(lf)
 
         _mark("assemble")
 

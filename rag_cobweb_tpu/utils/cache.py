@@ -15,11 +15,21 @@ def enable_persistent_cache(path: str | None = None,
 
     # default the cache INSIDE the repo (gitignored): /tmp does not
     # survive environment restarts, and a wiped cache re-pays the remote
-    # compile service's 2 s - 5 min per program on the next run
+    # compile service's 2 s - 5 min per program on the next run.  When the
+    # package is installed (site-packages parent may be unwritable) fall
+    # back to a per-user cache dir.
     default = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache")
     path = path or os.environ.get("RAG_COBWEB_TPU_JAX_CACHE", default)
+    try:
+        os.makedirs(path, exist_ok=True)
+        if not os.access(path, os.W_OK):
+            raise OSError(f"{path} not writable")
+    except OSError:
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            "rag_cobweb_tpu", "jax")
+        os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
