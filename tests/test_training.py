@@ -202,3 +202,31 @@ class TestEndToEndEncoderTraining:
             for a, b in zip(flat0, flat1)
         )
         assert moved
+
+
+def test_query_trainer_dp_matches_single_device(corpus_db):
+    """fit_dp shards the batch over the 8-device mesh with replicated
+    params (VERDICT r3 #7); same data + seeds must reproduce the
+    single-device fit losses (GSPMD all-reduce == one-device batch grad)."""
+    from rag_cobweb_tpu.parallel.forest import make_mesh
+
+    db, docs = corpus_db
+    rng = np.random.default_rng(5)
+    R = np.linalg.qr(rng.normal(size=(16, 16)))[0].astype(np.float32)
+    gold = rng.choice(len(docs), size=48, replace=False)
+    queries = (docs[gold] @ R + 0.05 * rng.normal(size=(48, 16))).astype(
+        np.float32
+    )
+    mesh = make_mesh()
+
+    tr_dp = CobwebQueryTrainer(db, in_dim=16, hidden_dim=64, lr=1e-3, seed=0)
+    losses_dp = tr_dp.fit_dp(queries, gold, mesh, epochs=4, batch_size=16)
+    tr_sd = CobwebQueryTrainer(db, in_dim=16, hidden_dim=64, lr=1e-3, seed=0)
+    losses_sd = tr_sd.fit(queries, gold, epochs=4, batch_size=16)
+
+    assert losses_dp[-1] < losses_dp[0]          # it trains
+    np.testing.assert_allclose(losses_dp, losses_sd, rtol=2e-4)
+    # the trained head itself matches the single-device one
+    np.testing.assert_allclose(tr_dp.project(queries[:4]),
+                               tr_sd.project(queries[:4]), rtol=2e-3,
+                               atol=2e-5)
