@@ -78,6 +78,50 @@ def write_slurm_script(exp: dict, out_dir: str, index: int) -> str:
     return path
 
 
+def write_multihost_slurm_script(exp: dict, out_dir: str, index: int,
+                                 coordinator_port: int = 12321) -> str:
+    """One sbatch script that runs an experiment as a MULTI-HOST job: N
+    nodes x 1 task, the first node hosting the ``jax.distributed``
+    coordinator, every task deriving its rank from ``SLURM_PROCID``.
+
+    The reference launcher only ever emitted independent single-task jobs
+    (run_experiments.py:48-126, nodes=1); this is the coordinator/worker
+    role the TPU build's multi-host layer needs.  The env contract matches
+    ``parallel.distributed.initialize`` — worker scripts call it with no
+    arguments and pick everything up from the environment (validated
+    locally by the 2-process pattern in tests/test_distributed.py).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    s = exp["slurm"]
+    name = exp.get("name", f"exp{index}")
+    nodes = int(s.get("nodes", 1))
+    path = os.path.join(out_dir, f"{name}_multihost.sh")
+    cmd = " ".join(shlex.quote(c) for c in experiment_command(exp))
+    with open(path, "w") as f:
+        f.write(
+            "#!/bin/bash\n"
+            f"#SBATCH --job-name={name}\n"
+            f"#SBATCH --partition={s['partition']}\n"
+            f"#SBATCH --qos={s['qos']}\n"
+            f"#SBATCH --mem={s['mem']}\n"
+            f"#SBATCH --time={s['time']}\n"
+            f"#SBATCH --cpus-per-task={s['cpus_per_task']}\n"
+            f"#SBATCH --nodes={nodes}\n"
+            "#SBATCH --ntasks-per-node=1\n"
+            f"#SBATCH --output=slurm_outputs/{name}_%j.out\n\n"
+            "# multi-host JAX: coordinator on the first allocated node;\n"
+            "# each srun task reads its rank from SLURM_PROCID\n"
+            "COORD_HOST=$(scontrol show hostnames \"$SLURM_JOB_NODELIST\""
+            " | head -n 1)\n"
+            f"export JAX_COORDINATOR_ADDRESS="
+            f"\"${{COORD_HOST}}:{coordinator_port}\"\n"
+            "export JAX_NUM_PROCESSES=\"$SLURM_NTASKS\"\n"
+            f"srun --kill-on-bad-exit=1 {cmd}\n"
+        )
+    os.chmod(path, 0o755)
+    return path
+
+
 def run_experiments(config_path: str, mode: str = "local",
                     script_dir: str = "generated_jobs",
                     max_parallel: int = 1,
@@ -87,9 +131,11 @@ def run_experiments(config_path: str, mode: str = "local",
     sbatches them (reference :127-166)."""
     exps = load_experiments(config_path)
     launched = []
-    if mode == "slurm":
+    if mode in ("slurm", "slurm-multihost"):
+        writer = (write_multihost_slurm_script if mode == "slurm-multihost"
+                  else write_slurm_script)
         for i, exp in enumerate(exps):
-            path = write_slurm_script(exp, script_dir, i)
+            path = writer(exp, script_dir, i)
             launched.append(path)
             if not dry_run:
                 subprocess.run(["sbatch", path], check=True)

@@ -27,13 +27,32 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Initialize multi-host JAX.  Safe to call on a single host (no-op when
-    no coordinator is configured)."""
+    no coordinator is configured).
+
+    Environment contract (what the launcher's ``slurm-multihost`` scripts
+    export — bench/launcher.write_multihost_slurm_script): explicit args
+    win; otherwise ``JAX_COORDINATOR_ADDRESS`` +
+    ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` (falling back to SLURM's
+    ``SLURM_NTASKS``/``SLURM_PROCID`` for the per-task values srun sets).
+    """
     import os
 
-    if coordinator_address is None and \
-            "JAX_COORDINATOR_ADDRESS" not in os.environ and \
-            num_processes is None:
+    env = os.environ
+    coordinator_address = coordinator_address or \
+        env.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None and num_processes is None:
         return  # single-process
+
+    def _int(*names):
+        for n in names:
+            if env.get(n):
+                return int(env[n])
+        return None
+
+    if num_processes is None:
+        num_processes = _int("JAX_NUM_PROCESSES", "SLURM_NTASKS")
+    if process_id is None:
+        process_id = _int("JAX_PROCESS_ID", "SLURM_PROCID")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

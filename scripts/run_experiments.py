@@ -13,7 +13,8 @@ from rag_cobweb_tpu.bench.launcher import run_experiments  # noqa: E402
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("config", help="experiment-list JSON")
-    p.add_argument("--mode", choices=["local", "slurm"], default="local")
+    p.add_argument("--mode", choices=["local", "slurm", "slurm-multihost"],
+                   default="local")
     p.add_argument("--max-parallel", type=int, default=1)
     p.add_argument("--dry-run", action="store_true")
     args = p.parse_args()

@@ -18,13 +18,24 @@ WORKER = '''
 import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 pid = int(sys.argv[1]); port = sys.argv[2]
+# the slurm-multihost env contract (bench/launcher emits these; srun sets
+# SLURM_PROCID per task) — initialize() derives its args from them
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["SLURM_PROCID"] = str(pid)
 import jax
 jax.config.update("jax_platforms", "cpu")
-# the package re-exports initialize as a thin wrapper; at worker start the
-# wrapper cannot be imported yet (package import inits the backend), so the
-# raw call here IS the wrapped call (parallel/distributed.py:26-41)
-jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                           num_processes=2, process_id=pid)
+# load parallel/distributed.py standalone (importing the package __init__
+# would initialize the XLA backend before jax.distributed.initialize)
+import importlib.util
+_here = os.path.dirname(os.path.abspath(__file__)) if "__file__" in \
+    globals() else os.getcwd()
+_spec = importlib.util.spec_from_file_location(
+    "dist_standalone", os.path.join(
+        _here, "rag_cobweb_tpu", "parallel", "distributed.py"))
+_dist = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_dist)
+_dist.initialize()   # no args: everything comes from the env contract
 import jax.numpy as jnp
 from jax.experimental.multihost_utils import process_allgather
 
