@@ -101,6 +101,28 @@ def load_or_compute(path: str, compute_fn: Callable[[], np.ndarray],
     return embs
 
 
+def sentences_cache_path(root: str, kind: str, unique_id: str) -> str:
+    """data/sentences/<kind>_<uid>.txt (reference sentence caches
+    benchmark_utils.py:409-435): one sentence per line.  With these plus
+    the .npy embedding caches present, a dataset benchmark runs with NO
+    dataset/model network access — the drop-in real-data ingress path."""
+    return os.path.join(root, "data", "sentences", f"{kind}_{unique_id}.txt")
+
+
+def save_sentences(path: str, sentences) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for s in sentences:
+            f.write(str(s).replace("\n", " ") + "\n")
+
+
+def load_sentences(path: str) -> Optional[list]:
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return [line.rstrip("\n") for line in f]
+
+
 # ------------------------------------------------------------------ #
 # encoders (gated; CPU torch / HF)                                   #
 # ------------------------------------------------------------------ #

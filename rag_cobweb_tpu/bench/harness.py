@@ -86,28 +86,53 @@ class BenchmarkRunner:
             corpus_embs, query_embs = synth.corpus_embs, synth.query_embs
             target_ids = synth.target_ids
         else:
-            data = self.load_data(subset_size, target_size, split, seed)
+            # sentence caches first (reference benchmark_utils.py:409-435):
+            # with corpus/queries/targets text + .npy embeddings cached, a
+            # run needs NO dataset or model download — this is the
+            # real-data ingress path on zero-egress hosts
+            spaths = {k: encoders.sentences_cache_path(self.root, k, uid)
+                      for k in ("corpus", "queries", "targets")}
+            cached = {k: encoders.load_sentences(p)
+                      for k, p in spaths.items()}
+            if all(v is not None for v in cached.values()):
+                data = datasets.RetrievalDataset(
+                    cached["corpus"], cached["queries"], cached["targets"],
+                    f"{self.dataset_name}_cached_{uid}",
+                )
+            else:
+                data = self.load_data(subset_size, target_size, split, seed)
+                for k in spaths:
+                    encoders.save_sentences(spaths[k], getattr(data, k))
             target_ids = np.asarray(
                 [data.corpus.index(t) for t in data.targets], np.int64
             )
             if corpus_embs is None:
-                if use_dpr:
-                    # DPR dual-encoder path (reference base_benchmark.py:59-98
-                    # selects it from config): contexts through the passage
-                    # encoder, questions through the question encoder
-                    ctx_enc, q_enc = encoders.make_dpr_encoders(model_name)
-                    corpus_enc, query_enc = ctx_enc, q_enc
-                else:
-                    corpus_enc = query_enc = (
-                        encode_func or encoders.make_encoder(model_name)
-                    )
+                # encoder construction is LAZY: with both .npy caches
+                # present no encoder (and no model download) is ever built
+                # — the drop-in ingress contract
+                enc_box: dict = {}
+
+                def get_encoders():
+                    if not enc_box:
+                        if use_dpr:
+                            # DPR dual-encoder path (reference
+                            # base_benchmark.py:59-98): contexts through
+                            # the passage encoder, questions through the
+                            # question encoder
+                            ctx, q = encoders.make_dpr_encoders(model_name)
+                        else:
+                            ctx = q = (encode_func
+                                       or encoders.make_encoder(model_name))
+                        enc_box["corpus"], enc_box["query"] = ctx, q
+                    return enc_box
+
                 corpus_embs = encoders.load_or_compute(
                     encoders.embedding_cache_path(self.root, "corpus", uid),
-                    lambda: corpus_enc(data.corpus), compute,
+                    lambda: get_encoders()["corpus"](data.corpus), compute,
                 )
                 query_embs = encoders.load_or_compute(
                     encoders.embedding_cache_path(self.root, "queries", uid),
-                    lambda: query_enc(data.queries), compute,
+                    lambda: get_encoders()["query"](data.queries), compute,
                 )
         corpus_embs = np.asarray(corpus_embs, np.float32)
         query_embs = np.asarray(query_embs, np.float32)
