@@ -582,6 +582,74 @@ def _leaf_lp_rerank(index: PredictionIndex, queries: jnp.ndarray,
     return top, jnp.take_along_axis(cand, pos, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("c", "approx",
+                                             "recall_target"))
+def backstop_topk(wemb: jnp.ndarray, half_norm2: jnp.ndarray,
+                  queries: jnp.ndarray, c: int, n_valid: jnp.ndarray,
+                  approx: bool = True, recall_target: float = 0.95):
+    """Whitened-flat BACKSTOP candidate pool: top-``c`` sentences by exact
+    L2 proximity in the compressed tree space, from one bf16 GEMM over the
+    stored whitened rows + ``approx_max_k``.
+
+    At 1M+ the fused path-score pool's misses are tree-placement outliers
+    (VERDICT r3 #4: raw-store delta 0.0174 at 1M is POOL membership, and
+    the pool-size curve is shallow — 2x pool bought only 0.002); a
+    proximity pool in the same whitened space catches exactly those, and
+    at ~1/12 the bytes of the raw flat scan it displaces (bf16 x
+    compressed dim vs f32 x 768).  The union feeds the same exact
+    stored-embedding re-rank, so ranking stays exact — the backstop only
+    widens pool membership.
+
+    wemb: (Sw, Dw) bf16 whitened store (zero padding past the live rows);
+    half_norm2: (Sw,) f32 = 0.5*||row||^2; n_valid masks rows the serving
+    index covers (pending/delta rows merge elsewhere).  Monotone in L2:
+    q.w - 0.5||w||^2 = -0.5||q - w||^2 + const(q).  Returns
+    (scores (B, c) f32, sentence ids (B, c))."""
+    s = jnp.matmul(queries.astype(jnp.bfloat16), wemb.T,
+                   preferred_element_type=jnp.float32) - half_norm2[None, :]
+    col = jnp.arange(s.shape[1], dtype=jnp.int32)[None, :]
+    s = jnp.where(col < n_valid, s, -jnp.inf)
+    c = min(c, s.shape[1])
+    if approx and c < s.shape[1]:
+        top, pos = jax.lax.approx_max_k(s, c, recall_target=recall_target)
+    else:
+        top, pos = jax.lax.top_k(s, c)
+    return top, pos
+
+
+_UNION_SENTINEL = np.int32(2**31 - 1)
+
+
+@jax.jit
+def union_candidates(cand_a: jnp.ndarray, cs_a: jnp.ndarray,
+                     cand_b: jnp.ndarray, cs_b: jnp.ndarray):
+    """Merge two candidate pools into one (B, Ca+Cb) set with duplicate
+    sentence ids masked to -inf (``exact_rerank``/``_leaf_lp_rerank`` drop
+    non-finite-score entries), so a union pool can feed the standard
+    re-rank step without ever ranking the same sentence twice.  Invalid
+    entries (-inf scores) are first mapped to a sentinel id so they never
+    collide with live ids; among duplicates the kept copy is the first in
+    id-sorted order (scores of duplicates re-rank identically, so which
+    copy survives is immaterial)."""
+    a = jnp.where(jnp.isfinite(cs_a), cand_a.astype(jnp.int32),
+                  _UNION_SENTINEL)
+    b = jnp.where(jnp.isfinite(cs_b), cand_b.astype(jnp.int32),
+                  _UNION_SENTINEL)
+    cand = jnp.concatenate([a, b], axis=1)
+    cs = jnp.concatenate([cs_a.astype(jnp.float32),
+                          cs_b.astype(jnp.float32)], axis=1)
+    order = jnp.argsort(cand, axis=1)
+    cand_s = jnp.take_along_axis(cand, order, axis=1)
+    cs_s = jnp.take_along_axis(cs, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(cand_s[:, :1], bool),
+         cand_s[:, 1:] == cand_s[:, :-1]], axis=1)
+    dead = dup | (cand_s == _UNION_SENTINEL)
+    cs_s = jnp.where(dead, -jnp.inf, cs_s)
+    cand_s = jnp.where(cand_s == _UNION_SENTINEL, 0, cand_s)
+    return cand_s, cs_s
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def exact_rerank(emb: jnp.ndarray, queries: jnp.ndarray,
                  cand: jnp.ndarray, cand_scores: jnp.ndarray, k: int,

@@ -187,6 +187,11 @@ class CobwebIndex:
         if self.store_embeddings:
             self._vec_chunks.append(store_vecs)
             self._emb_dev_cache = None
+            if self.whitener is not None:
+                import ml_dtypes
+                self._wvec_chunks.append(
+                    np.asarray(new_vectors, ml_dtypes.bfloat16))
+                self._wemb_dev_cache = None
         if self.forest is None:
             self.leaf_of_sentence.extend(int(l) for l in leaves)
         # bounded-staleness serving (the reference rebuilds its whole
@@ -249,6 +254,12 @@ class CobwebIndex:
         self._vec_chunks: list = []
         self._emb_dev_cache = None
         self._emb_dev_n = 0
+        # whitener mode: a SECOND, bf16 store of the whitened (tree-space)
+        # rows backs the proximity backstop pool (see _backstop_chunked);
+        # ~S*Dw*2 bytes (256 MB at 1M x 128)
+        self._wvec_chunks: list = []
+        self._wemb_dev_cache = None
+        self._wemb_dev_n = 0
 
     def _emb_device(self):
         """(cap, D) stored embeddings on device, or None when unavailable
@@ -279,6 +290,44 @@ class CobwebIndex:
             self._emb_dev_cache = jnp.asarray(host)
             self._emb_dev_n = n
         return self._emb_dev_cache
+
+    def _wemb_device(self):
+        """(cap, Dw) bf16 whitened store + (cap,) f32 half-norms on device,
+        or None.  Same bucketed-capacity contract as ``_emb_device`` (the
+        backstop GEMM compiles per shape).  On checkpoints saved without
+        whitened chunks the store is rebuilt from the raw rows through the
+        whitener (one-off host transform)."""
+        if (self.whitener is None or not self.store_embeddings
+                or not self._vec_chunks):
+            return None
+        n = len(self.sentences)
+        if self._wemb_dev_cache is None or self._wemb_dev_n != n:
+            import ml_dtypes
+            if not self._wvec_chunks:   # checkpoint load: rebuild
+                if len(self._vec_chunks) > 1:
+                    self._vec_chunks = [np.concatenate(self._vec_chunks)]
+                raw = self._vec_chunks[0]
+                if raw.shape[0] != n:
+                    return None
+                self._wvec_chunks = [np.asarray(
+                    self.whitener.transform(raw), ml_dtypes.bfloat16)]
+            if len(self._wvec_chunks) > 1:
+                self._wvec_chunks = [np.concatenate(self._wvec_chunks)]
+            host = self._wvec_chunks[0]
+            if host.shape[0] != n:
+                return None
+            cap = getattr(self, "_wemb_dev_cap", 0)
+            if cap < n:
+                cap = tree_mod.align_capacity(max(n, int(cap * 1.25), 4096))
+                self._wemb_dev_cap = cap
+            if cap > n:
+                host = np.concatenate(
+                    [host, np.zeros((cap - n, host.shape[1]), host.dtype)])
+            w = jnp.asarray(host)
+            self._wemb_dev_cache = (
+                w, 0.5 * jnp.sum(jnp.square(w.astype(jnp.float32)), axis=1))
+            self._wemb_dev_n = n
+        return self._wemb_dev_cache
 
     def _init_pending(self):
         # tier 0: recent unindexed rows, merged by the (B, Np, D)
@@ -569,6 +618,16 @@ class CobwebIndex:
     # byte budget for the exact re-rank's (B, C, D) candidate gather —
     # at B=4096 x pool 1024 x D=768 the unchunked gather alone is 12.9 GB
     rerank_gather_budget = 2 << 30
+    # proximity BACKSTOP pool (VERDICT r3 #4): union the fused path-score
+    # pool with a whitened-L2 approx pool from one bf16 GEMM over the
+    # whitened store (index.backstop_topk) before the exact re-rank.  At
+    # 1M+ the path-score pool's residual misses are tree-placement
+    # outliers the proximity pool catches; below backstop_threshold the
+    # path-score pool already saturates (delta ~0.000 at 10k), so "auto"
+    # enables it only at scale and only in whitener (raw-store) mode,
+    # where the whitened store exists.  int = explicit pool size, 0 = off.
+    backstop_pool = "auto"
+    backstop_threshold = 131072
     # opt-in: serve the fused Pallas sweep (ops/pallas_query) above
     # pallas_threshold sentences instead of the XLA blocked path.  The
     # kernel's VMEM streaming beat the EXACT-epilogue XLA path at 1M
@@ -610,11 +669,17 @@ class CobwebIndex:
                     return out
             if self.use_fused:
                 if rerank:
+                    pool = min(max(rerank, kk), n_indexed)
                     cs, cand = self._fused_chunked(
-                        self._fused_index(), q,
-                        min(max(rerank, kk), n_indexed),
+                        self._fused_index(), q, pool,
                         approx=self.approx_pool,
                         score_dtype=self.fused_score_dtype)
+                    bs = self._backstop_k(pool, n_indexed)
+                    if bs:
+                        bcs, bcand = self._backstop_chunked(q, bs,
+                                                            n_indexed)
+                        cand, cs = index_mod.union_candidates(
+                            cand, cs, bcand, bcs)
                     return self._rerank_step(None, q, cand, cs, kk,
                                              q_store=q_store)
                 # rerank=0 contract: exact raw path-score ORDER -> f32 index
@@ -713,6 +778,55 @@ class CobwebIndex:
                 fidx, qc, k, approx=approx,
                 recall_target=self.approx_recall_target,
                 score_dtype=score_dtype)
+
+        if B <= bmax:
+            return one(q)
+        outs = []
+        for s in range(0, B, bmax):
+            qc = q[s:s + bmax]
+            n = qc.shape[0]
+            if n < bmax:
+                qc = jnp.concatenate(
+                    [qc, jnp.zeros((bmax - n, q.shape[1]), q.dtype)])
+            cs, ids = one(qc)
+            outs.append((cs[:n], ids[:n]))
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+
+    def _backstop_k(self, pool: int, n_indexed: int) -> int:
+        """Backstop pool size for this query (0 = disabled): ``"auto"``
+        enables it at ``backstop_threshold``+ sentences in whitener mode
+        (the regime where path-score pool membership starts missing and a
+        whitened store exists — see the class attr)."""
+        bs = self.backstop_pool
+        if bs == "auto":
+            if (self.whitener is not None and self.store_embeddings
+                    and len(self.sentences) >= self.backstop_threshold):
+                bs = pool
+            else:
+                return 0
+        bs = int(bs)
+        if bs <= 0 or self._wemb_device() is None:
+            return 0
+        return min(bs, n_indexed)
+
+    def _backstop_chunked(self, q, c: int, n_indexed: int):
+        """Whitened-proximity backstop pool, query batch chunked under the
+        same score-matrix byte budget as the fused sweep (the (Bc, Sw)
+        f32 score matrix dominates)."""
+        wemb, half_n2 = self._wemb_device()
+        nv = jnp.asarray(min(n_indexed, len(self.sentences)), jnp.int32)
+        B = q.shape[0]
+        row = wemb.shape[0] * 4
+        bmax = max(64, int(self.fused_score_budget) // max(row, 1))
+        if bmax < B:
+            bmax = 1 << (bmax.bit_length() - 1)
+
+        def one(qc):
+            return index_mod.backstop_topk(
+                wemb, half_n2, qc, c, nv,
+                approx=self.approx_pool,
+                recall_target=self.approx_recall_target)
 
         if B <= bmax:
             return one(q)
