@@ -59,6 +59,20 @@ def main():
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip insert-program pre-compilation (the compile "
                          "then lands inside build_total_s)")
+    ap.add_argument("--build-dev", choices=["auto", "tpu", "cpu"],
+                    default="auto",
+                    help="auto: start the chip insert-program warmup in a "
+                         "background thread and wait up to --warm-wait s "
+                         "(warm persistent cache -> finishes in seconds "
+                         "-> true chip build); on a cold cache fall back "
+                         "to a CPU-backend build promoted to the chip for "
+                         "serving (the background compile keeps running "
+                         "and seeds the cache for the next run).  The "
+                         "serving engine + all latency/recall metrics run "
+                         "on the chip in every mode")
+    ap.add_argument("--warm-wait", type=float, default=75.0,
+                    help="auto mode: seconds to wait for the chip insert "
+                         "program before falling back to the CPU build")
     ap.add_argument("--rerank", type=int, default=1024,
                     help="exact re-rank candidate-pool size (pool_sweep: "
                          "512 leaves +0.002 delta, 1024 reaches 0.000 at "
@@ -67,6 +81,16 @@ def main():
     args = ap.parse_args()
 
     log = (lambda *a: print(*a, file=sys.stderr, flush=True)) if True else None
+
+    if args.build_dev in ("auto", "cpu"):
+        # make the host CPU backend available NEXT TO the chip backend
+        # (must happen before first jax use; the image pins
+        # JAX_PLATFORMS=axon)
+        import os
+        plats = os.environ.get("JAX_PLATFORMS", "")
+        if plats and "cpu" not in plats:
+            import jax
+            jax.config.update("jax_platforms", plats + ",cpu")
 
     from rag_cobweb_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()  # the insert program is compile-heavy
@@ -104,19 +128,65 @@ def main():
         n_lanes = 32 if args.corpus_size >= 10000 else 1
     compile_s = 0.0
 
+    build_dev = args.build_dev if n_lanes > 1 else "tpu"
     if n_lanes > 1:
+        cap = 4 * len(corpus) + 16
+        if build_dev == "auto":
+            # kick the chip insert-program compile in a background thread
+            # against a throwaway same-shape forest; with a warm
+            # persistent cache it returns in seconds (-> true chip build),
+            # cold it keeps compiling in the background (seeding the cache
+            # for the next run) while the CPU backend builds the tree now
+            import threading
+            warm_done = threading.Event()
+
+            def _warm_chip():
+                from rag_cobweb_tpu.parallel.vforest import VForest
+                wf = VForest(TreeConfig(dim=whitener.dim_out),
+                             n_subtrees=n_lanes,
+                             capacity_per_tree=max(1024, cap // n_lanes))
+                wf.warmup_insert_programs(len(corpus))
+                warm_done.set()
+
+            t0 = time.perf_counter()
+            threading.Thread(target=_warm_chip, daemon=True).start()
+            warm_done.wait(args.warm_wait)
+            compile_s = time.perf_counter() - t0
+            build_dev = "tpu" if warm_done.is_set() else "cpu"
+            if build_dev == "tpu":
+                log(f"[bench] chip insert-program warmup (cache-warm): "
+                    f"{compile_s:.1f}s")
+            else:
+                log(f"[bench] chip insert program not ready after "
+                    f"{args.warm_wait:.0f}s (cold cache / compile "
+                    f"service) -> CPU-backend build; the chip compile "
+                    f"continues in the background and seeds the "
+                    f"persistent cache for the next run")
         db = CobwebIndex(
             config=TreeConfig(dim=whitener.dim_out),
-            capacity=4 * len(corpus) + 16, n_subtrees=n_lanes,
-            whitener=whitener,
+            capacity=cap, n_subtrees=n_lanes, whitener=whitener,
+            build_device=("cpu" if build_dev == "cpu" else None),
         )
-        if not args.no_warmup:
+        if build_dev == "cpu":
+            t0 = time.perf_counter()
+            db.forest.warmup_insert_programs(len(corpus))
+            cpu_compile = time.perf_counter() - t0
+            compile_s += cpu_compile
+            log(f"[bench] cpu insert-program warmup: {cpu_compile:.1f}s")
+        elif args.build_dev != "auto" and not args.no_warmup:
             compile_s = db.forest.warmup_insert_programs(len(corpus))
             log(f"[bench] insert-program warmup (compile): {compile_s:.1f}s")
         t0 = time.perf_counter()
         db.add_sentences([None] * len(corpus), corpus)
         build_s = time.perf_counter() - t0
         rate = len(corpus) / build_s
+        if build_dev == "cpu":
+            import jax
+            t0 = time.perf_counter()
+            db.promote_build_device()
+            jax.block_until_ready(db.forest.state.counts)
+            log(f"[bench] state promoted to chip: "
+                f"{time.perf_counter()-t0:.1f}s")
     else:
         # single-tree path: two stages so steady-state is visible
         warm_n = min(2048, len(corpus))
@@ -183,6 +253,7 @@ def main():
         "ref_recall@10": ref_recall,
         "build_inserts_per_s": round(rate, 1),
         "build_total_s": round(build_s, 1),
+        "build_device": build_dev,
         "compile_warmup_s": round(compile_s, 1),
         "index_build_s": round(index_s, 1),
         "qps": round(res["qps"], 1),

@@ -50,7 +50,7 @@ class CobwebIndex:
                  config: Optional[TreeConfig] = None,
                  capacity: Optional[int] = None, seed: int = 0,
                  n_subtrees: int = 1, routing: str = "round_robin",
-                 whitener=None):
+                 whitener=None, build_device=None):
         """``n_subtrees > 1`` selects forest mode: K independent subtrees on
         one device with round-robin inserts running K-wide under ``vmap``
         (parallel/vforest.py) — ~K× insert throughput; queries merge
@@ -105,10 +105,23 @@ class CobwebIndex:
         if self.n_subtrees > 1:
             from rag_cobweb_tpu.parallel.vforest import VForest
             self.tree = None
+            # build_device="cpu": pin the forest build to the host CPU
+            # backend (the cold-start path — the chip's remote compile of
+            # the insert program costs minutes cold, the CPU compile
+            # seconds).  Call promote_build_device() after the build to
+            # move the state onto the chip for serving.  Requires the cpu
+            # platform to be enabled next to the chip backend (e.g.
+            # jax.config.update("jax_platforms", "axon,cpu") before first
+            # jax use).
+            dev = None
+            if build_device == "cpu":
+                dev = jax.devices("cpu")[0]
+            elif build_device not in (None, "default"):
+                dev = build_device
             self.forest = VForest(
                 self.cfg, n_subtrees=self.n_subtrees,
                 capacity_per_tree=max(1024, cap // self.n_subtrees),
-                seed=seed, routing=routing,
+                seed=seed, routing=routing, device=dev,
             )
             # the forest may have applied routing-driven config defaults
             # (content routing enables absorb_depth chain compaction)
@@ -395,6 +408,12 @@ class CobwebIndex:
         self._delta_n = need
         self._pending_sids = []
         self._pending_vecs = None
+
+    def promote_build_device(self):
+        """Move a CPU-pinned forest build onto the default backend (the
+        chip) for serving; no-op for unpinned/single-tree indexes."""
+        if self.forest is not None and self.forest._device is not None:
+            self.forest.to_device()
 
     def _beam_index(self) -> index_mod.BeamIndex:
         """Packed BeamIndex over the current flat index (cached)."""

@@ -330,7 +330,7 @@ class VForest:
 
     def __init__(self, cfg: TreeConfig, n_subtrees: int = 16,
                  capacity_per_tree: int = 4096, seed: int = 0,
-                 routing: str = "round_robin"):
+                 routing: str = "round_robin", device=None):
         """``routing``:
 
         * ``"round_robin"`` (default, the reference-parity layout): lane =
@@ -348,6 +348,15 @@ class VForest:
         """
         if routing not in ("round_robin", "content"):
             raise ValueError(f"unknown routing {routing!r}")
+        # ``device``: pin the forest STATE and all insert programs to a
+        # specific jax device — the cold-start escape hatch: the TPU
+        # remote-compile of the descent program costs minutes cold, while
+        # the CPU backend compiles it in seconds, so a build can run on
+        # jax.devices("cpu")[0] and then ``to_device()`` onto the chip for
+        # serving (all serving indexes are built from the state arrays, so
+        # they land on the chip either way after promotion).  None =
+        # default backend (the chip).
+        self._device = device
         if routing == "content" and cfg.absorb_depth == 0:
             # Content routing concentrates whole near-duplicate groups in
             # one lane, whose fringe chains reach depth 96+ on the hard
@@ -374,19 +383,20 @@ class VForest:
         cap = tree_mod.align_capacity(capacity_per_tree)
         K, D, F = n_subtrees, cfg.dim, cfg.max_fanout
         NULL = tree_mod.NULL
-        self.state = tree_mod.TreeState(
-            counts=jnp.zeros((K, cap), jnp.float32),
-            means=jnp.zeros((K, cap, D), jnp.float32),
-            m2s=jnp.zeros((K, cap, D), jnp.float32),
-            parent=jnp.full((K, cap), NULL, jnp.int32),
-            children=jnp.full((K, cap, F), NULL, jnp.int32),
-            n_children=jnp.zeros((K, cap), jnp.int32),
-            root=jnp.zeros((K,), jnp.int32),
-            n_alloc=jnp.ones((K,), jnp.int32),
-            free_stack=jnp.full((K, cap), NULL, jnp.int32),
-            free_top=jnp.zeros((K,), jnp.int32),
-        )
-        self._key = jax.random.PRNGKey(seed)
+        with self._dev_ctx():
+            self.state = tree_mod.TreeState(
+                counts=jnp.zeros((K, cap), jnp.float32),
+                means=jnp.zeros((K, cap, D), jnp.float32),
+                m2s=jnp.zeros((K, cap, D), jnp.float32),
+                parent=jnp.full((K, cap), NULL, jnp.int32),
+                children=jnp.full((K, cap, F), NULL, jnp.int32),
+                n_children=jnp.zeros((K, cap), jnp.int32),
+                root=jnp.zeros((K,), jnp.int32),
+                n_alloc=jnp.ones((K,), jnp.int32),
+                free_stack=jnp.full((K, cap), NULL, jnp.int32),
+                free_top=jnp.zeros((K,), jnp.int32),
+            )
+            self._key = jax.random.PRNGKey(seed)
         self.n_sentences = 0
         self.shard_of: list[int] = []
         self.local_sid: list[int] = []
@@ -414,6 +424,27 @@ class VForest:
         # = 1; each insert allocates at most 2 fresh nodes) — lets
         # _ensure_capacity avoid a per-add device fetch
         self._alloc_hi = 1
+
+    def _dev_ctx(self):
+        """Context manager placing array CREATION ops on the pinned build
+        device (no-op when unpinned; jitted programs follow their operands
+        either way)."""
+        import contextlib
+        return (jax.default_device(self._device)
+                if self._device is not None else contextlib.nullcontext())
+
+    def to_device(self, device=None):
+        """Migrate the forest state to ``device`` (None = the default
+        backend, i.e. the chip) — the promotion step after a CPU-pinned
+        cold-start build.  Serving-index builds read ``self.state``, so
+        everything downstream lands on the target device."""
+        target = device if device is not None else jax.devices()[0]
+        self.state = jax.device_put(self.state, target)
+        self._key = jax.device_put(self._key, target)
+        self._device = device
+        # cross-device caches/snapshots are stale after migration
+        self._struct_snap = None
+        self._centroids_dev = None
 
     def warmup_insert_programs(self, n_total: int,
                                budgets: tuple = ()) -> float:
@@ -452,26 +483,30 @@ class VForest:
         # throwaway copy used to hold a 3rd replica and OOM'd the chip at
         # K=512 x 2M sentences (state ~4.5 GB).  Rebinding is mandatory
         # under donation: the passed-in buffers are consumed on TPU.
-        keys = jax.random.split(jax.random.PRNGKey(0), K * Rb).reshape(
-            K, Rb, -1)
-        zeros = jnp.zeros((K, Rb, D), jnp.float32)
-        for budget in {self._budget, *budgets}:
+        with self._dev_ctx():
+            keys = jax.random.split(jax.random.PRNGKey(0), K * Rb).reshape(
+                K, Rb, -1)
+            zeros = jnp.zeros((K, Rb, D), jnp.float32)
+            for budget in {self._budget, *budgets}:
+                self.state, _ = vinsert_rounds_masked(
+                    self.state, zeros, keys, jnp.zeros((K, Rb), bool),
+                    self.cfg, n_rounds=jnp.asarray(1, jnp.int32),
+                    max_steps=budget)
+                jax.block_until_ready(self.state.counts)
+                _log(f"masked rounds Rb={Rb} budget={budget}")
+            # the (single) deep retry-wave program: _RETRY_W-wide, all-off
+            # mask
+            if Rb >= _RETRY_W:
+                rz, rk = zeros[:, :_RETRY_W], keys[:, :_RETRY_W]
+            else:
+                rz = jnp.zeros((K, _RETRY_W, D), jnp.float32)
+                rk = jax.random.split(
+                    jax.random.PRNGKey(1),
+                    K * _RETRY_W).reshape(K, _RETRY_W, -1)
             self.state, _ = vinsert_rounds_masked(
-                self.state, zeros, keys, jnp.zeros((K, Rb), bool), self.cfg,
-                n_rounds=jnp.asarray(1, jnp.int32), max_steps=budget)
+                self.state, rz, rk, jnp.zeros((K, _RETRY_W), bool), self.cfg,
+                n_rounds=jnp.asarray(1, jnp.int32), max_steps=_DEEP_STEPS)
             jax.block_until_ready(self.state.counts)
-            _log(f"masked rounds Rb={Rb} budget={budget}")
-        # the (single) deep retry-wave program: _RETRY_W-wide, all-off mask
-        if Rb >= _RETRY_W:
-            rz, rk = zeros[:, :_RETRY_W], keys[:, :_RETRY_W]
-        else:
-            rz = jnp.zeros((K, _RETRY_W, D), jnp.float32)
-            rk = jax.random.split(
-                jax.random.PRNGKey(1), K * _RETRY_W).reshape(K, _RETRY_W, -1)
-        self.state, _ = vinsert_rounds_masked(
-            self.state, rz, rk, jnp.zeros((K, _RETRY_W), bool), self.cfg,
-            n_rounds=jnp.asarray(1, jnp.int32), max_steps=_DEEP_STEPS)
-        jax.block_until_ready(self.state.counts)
         _log(f"retry wave W={_RETRY_W}")
         return _time.perf_counter() - t0
 
@@ -498,9 +533,10 @@ class VForest:
                 np_ = np.zeros((nb,), np.int32)
                 lp[:n] = lanes
                 np_[:n] = nodes
-                ch_rows, pa_rows = _gather_struct_rows(
-                    st.children, st.parent, jnp.asarray(lp),
-                    jnp.asarray(np_))
+                with self._dev_ctx():
+                    ch_rows, pa_rows = _gather_struct_rows(
+                        st.children, st.parent, jnp.asarray(lp),
+                        jnp.asarray(np_))
                 ch[lanes, nodes] = np.asarray(ch_rows)[:n]
                 pa[lanes, nodes] = np.asarray(pa_rows)[:n]
         root = np.array(jax.device_get(st.root))
@@ -527,8 +563,9 @@ class VForest:
 
         def grow(a, fill):
             shape = (K, pad) + a.shape[2:]
-            return jnp.concatenate(
-                [a, jnp.full(shape, fill, a.dtype)], axis=1)
+            with self._dev_ctx():
+                return jnp.concatenate(
+                    [a, jnp.full(shape, fill, a.dtype)], axis=1)
 
         self.state = st._replace(
             counts=grow(st.counts, 0.0), means=grow(st.means, 0.0),
@@ -800,23 +837,25 @@ class VForest:
                         wave_max = max(wave_max, len(idx))
                 if not wave_max:
                     break
-                self.state, leaf2 = vinsert_rounds_masked(
-                    self.state, jnp.asarray(xs2), jnp.asarray(keys2),
-                    jnp.asarray(mask2), self.cfg,
-                    n_rounds=jnp.asarray(wave_max, jnp.int32),
-                    max_steps=_DEEP_STEPS,
-                )
+                with self._dev_ctx():
+                    self.state, leaf2 = vinsert_rounds_masked(
+                        self.state, jnp.asarray(xs2), jnp.asarray(keys2),
+                        jnp.asarray(mask2), self.cfg,
+                        n_rounds=jnp.asarray(wave_max, jnp.int32),
+                        max_steps=_DEEP_STEPS,
+                    )
                 leaf2 = np.asarray(leaf2)
                 rows, cols = np.nonzero(mask2 & (leaf2 >= 0))
                 leaves[rows, src[rows, cols]] = leaf2[rows, cols]
                 # pathological >_DEEP_STEPS descents: exact path, one-off,
                 # with the _EXACT_STEPS cap (deep near-dup fringe chains)
                 for s, c in np.argwhere(mask2 & (leaf2 < 0)):
-                    self.state, lf = _insert_one_lane(
-                        self.state, jnp.asarray(int(s), jnp.int32),
-                        jnp.asarray(xs2[s, c]), jnp.asarray(keys2[s, c]),
-                        self.cfg,
-                    )
+                    with self._dev_ctx():
+                        self.state, lf = _insert_one_lane(
+                            self.state, jnp.asarray(int(s), jnp.int32),
+                            jnp.asarray(xs2[s, c]), jnp.asarray(keys2[s, c]),
+                            self.cfg,
+                        )
                     if int(lf) < 0:
                         # never record -1: the sentence would silently
                         # become unretrievable (and flat-index builds
@@ -832,12 +871,13 @@ class VForest:
         # ONE bucketed masked multi-round call covers the whole batch
         # (previously: an unmasked primary block + two tail branches —
         # three program families and an extra device dispatch per add)
-        self.state, leaves = vinsert_rounds_masked(
-            self.state, jnp.asarray(xs_t), jnp.asarray(all_keys),
-            jnp.asarray(mask_t), self.cfg,
-            n_rounds=jnp.asarray(R_max, jnp.int32),
-            max_steps=self._budget,
-        )
+        with self._dev_ctx():
+            self.state, leaves = vinsert_rounds_masked(
+                self.state, jnp.asarray(xs_t), jnp.asarray(all_keys),
+                jnp.asarray(mask_t), self.cfg,
+                n_rounds=jnp.asarray(R_max, jnp.int32),
+                max_steps=self._budget,
+            )
         # np.array (copy): jax->numpy views are read-only and the
         # exact-path retry writes back into this buffer
         leaves = np.array(leaves)

@@ -10,7 +10,15 @@ import os
 
 
 def enable_persistent_cache(path: str | None = None,
-                            min_compile_secs: float = 0.3) -> None:
+                            min_compile_secs: float = 0.0) -> None:
+    """``min_compile_secs=0``: persist EVERY compiled program.  The axon
+    remote-compile path can return from ``backend_compile`` quickly while
+    the real compile completes lazily (surfacing at first execution), so
+    jax's measured compile time under-reports and the default 0.3 s
+    threshold silently skipped the cache write for exactly the programs
+    that cost minutes (the insert program: observed compiled-but-never-
+    persisted across two round-4 bench runs while small query programs
+    persisted fine)."""
     import jax
 
     # default the cache INSIDE the repo (gitignored): /tmp does not

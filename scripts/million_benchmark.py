@@ -57,6 +57,10 @@ def main():
                         "ranking (bench.py measures delta 0.000 vs raw "
                         "exact at c=10k).  Uses a separate raw cache "
                         "(corpus + queries + pickled whitener)")
+    p.add_argument("--backstop", type=int, default=-1,
+                   help="whitened-proximity backstop pool size for the "
+                        "product engine (-1 = wrapper auto: on at scale "
+                        "in --raw-store mode; 0 = off; N = explicit)")
     p.add_argument("--slots-per-sentence", type=float, default=2.0,
                    help="forest node-slot capacity per sentence (nodes/"
                         "sentence measured ~1.25 on the hard set at 1M; "
@@ -192,8 +196,14 @@ def main():
     db = CobwebIndex(config=TreeConfig(dim=D),
                      capacity=K * max(2048, slots // K + 64),
                      n_subtrees=K, seed=0, whitener=whitener)
+    if args.backstop >= 0:
+        db.backstop_pool = args.backstop
     t0 = time.perf_counter()
-    db.forest.warmup_insert_programs(chunk)
+    # budgets=(24,): pre-compile the first escalation rung too — at 1M+
+    # the deep-descent fraction crosses the 8% ladder threshold and the
+    # 24-step program would otherwise compile MID-BUILD through the
+    # remote compile service (minutes of stall when the service is slow)
+    db.forest.warmup_insert_programs(chunk, budgets=(24,))
     print(f"[1m] insert-program warmup: {time.perf_counter()-t0:.1f}s",
           flush=True)
 

@@ -312,3 +312,26 @@ def test_warmup_insert_programs_is_a_noop_on_state(data):
     # inserts after warmup still land and retrieve
     gids = vf.add(data[40:80])
     assert len(gids) == 40
+
+
+def test_vforest_device_pinned_build_and_promote():
+    """Cold-start path: build with the forest state pinned to an explicit
+    device (the CPU backend stands in for the host side of the cpu-build
+    -> promote-to-chip flow), then to_device() and keep querying."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    xs = rng.normal(size=(160, 16)).astype(np.float32)
+    f = VForest(TreeConfig(dim=16), n_subtrees=4, capacity_per_tree=256,
+                seed=0, device=jax.devices()[0])
+    f.add(xs[:100])
+    assert f._device is not None
+    f.to_device()          # promote to the default backend
+    assert f._device is None
+    # post-promotion: querying and further adds still work
+    _, ids = f.query_topk(xs[:8], k=5)
+    for b in range(8):
+        assert b in np.asarray(ids)[b]
+    f.add(xs[100:])
+    _, ids2 = f.query_topk(xs[150:152], k=3)
+    assert 150 in np.asarray(ids2)[0]
