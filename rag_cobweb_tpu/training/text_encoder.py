@@ -192,6 +192,52 @@ class EndToEndQueryTrainer:
                       f"enc-grad-norm {grad_norms[-1]:.4f}")
         return losses, grad_norms
 
+    def fit_dp(self, query_texts, gold_rows, mesh, axis_name: str = "shard",
+               epochs: int = 3, batch_size=None, seed: int = 0,
+               log_every: int = 0):
+        """Data-parallel ``fit``: token/label batches sharded over the
+        mesh, encoder+head params and optimizer state replicated; GSPMD
+        inserts the gradient all-reduce (same placement recipe as
+        query_train.CobwebQueryTrainer.fit_dp, so the full end-to-end
+        encoder gradient flows through the mesh too)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(mesh.shape[axis_name])
+        batch_size = batch_size or 4 * n_dev
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over {n_dev} devices")
+        repl = NamedSharding(mesh, P())
+        row_sh = NamedSharding(mesh, P(axis_name, None))
+        lbl_sh = NamedSharding(mesh, P(axis_name))
+        self.state = jax.device_put(self.state, repl)
+
+        ids, mask = hash_tokenize(query_texts, self.vocab_size, self.max_len)
+        gold_rows = np.asarray(gold_rows, np.int32)
+        rng = np.random.default_rng(seed)
+        n = max((len(gold_rows) // batch_size) * batch_size, batch_size)
+        losses, grad_norms = [], []
+        for epoch in range(1, epochs + 1):
+            order = np.resize(rng.permutation(len(gold_rows)), n)
+            tot, gtot = 0.0, 0.0
+            for s in range(0, n, batch_size):
+                sel = order[s:s + batch_size]
+                self.state, loss, gn = self.train_step(
+                    self.state,
+                    jax.device_put(jnp.asarray(ids[sel]), row_sh),
+                    jax.device_put(jnp.asarray(mask[sel]), row_sh),
+                    jax.device_put(jnp.asarray(gold_rows[sel]), lbl_sh),
+                )
+                tot += float(loss)
+                gtot += float(gn)
+            steps = n // batch_size
+            losses.append(tot / steps)
+            grad_norms.append(gtot / steps)
+            if log_every:
+                print(f"[dp epoch {epoch}] CE {losses[-1]:.4f} "
+                      f"enc-grad-norm {grad_norms[-1]:.4f}")
+        return losses, grad_norms
+
     def evaluate(self, query_texts, gold_rows, k: int = 10) -> dict:
         proj = jnp.asarray(self.encode(query_texts))
         scores = np.asarray(index_mod.rank_scores(self.index, proj))

@@ -230,3 +230,36 @@ def test_query_trainer_dp_matches_single_device(corpus_db):
     np.testing.assert_allclose(tr_dp.project(queries[:4]),
                                tr_sd.project(queries[:4]), rtol=2e-3,
                                atol=2e-5)
+
+
+def test_e2e_trainer_dp_matches_single_device():
+    """EndToEndQueryTrainer.fit_dp: full encoder+head gradients through
+    the mesh reproduce the single-device losses."""
+    from rag_cobweb_tpu.parallel.forest import make_mesh
+    from rag_cobweb_tpu.training.text_encoder import EndToEndQueryTrainer
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(scale=3.0, size=(8, 16))
+    xs = np.concatenate(
+        [c + 0.15 * rng.normal(size=(8, 16)) for c in centers]
+    ).astype(np.float32)
+    texts = [f"cluster{r // 8} item{r % 8} corpus entry"
+             for r in range(len(xs))]
+    queries = [f"find cluster{r // 8} item{r % 8}" for r in range(len(xs))]
+    gold = np.arange(len(xs))
+    mesh = make_mesh()
+
+    def make():
+        db = CobwebIndex(corpus=texts, corpus_embeddings=xs)
+        return EndToEndQueryTrainer(db, vocab_size=256, d_model=16,
+                                    n_layers=1, max_len=8, hidden_dim=32,
+                                    lr=2e-3, seed=0)
+
+    tr_dp = make()
+    losses_dp, gn_dp = tr_dp.fit_dp(queries, gold, mesh, epochs=2,
+                                    batch_size=16)
+    tr_sd = make()
+    losses_sd, gn_sd = tr_sd.fit(queries, gold, epochs=2, batch_size=16)
+    assert losses_dp[-1] < losses_dp[0]
+    np.testing.assert_allclose(losses_dp, losses_sd, rtol=2e-4)
+    np.testing.assert_allclose(gn_dp, gn_sd, rtol=2e-3)
