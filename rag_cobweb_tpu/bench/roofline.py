@@ -25,6 +25,13 @@ from typing import NamedTuple
 V5E_PEAK_BF16 = 197e12   # FLOP/s
 V5E_PEAK_F32 = 98e12     # FLOP/s (HIGHEST-precision passes)
 V5E_HBM_BW = 819e9       # bytes/s
+# Measured device row-gather rate (CLAUDE.md round-3 lesson; confirmed by
+# scripts/rerank_stage_probe.py): TPU row gathers are row-RATE-limited at
+# ~21M rows/s at ANY row width, far below what the byte roofline allows —
+# a gather-stage bound must use this, not bytes/BW, or the composite
+# roofline overstates what the hardware can do and every gather-bearing
+# path reads as "inefficient" against an unreachable bound.
+V5E_GATHER_ROWS_PER_S = 21e6
 
 
 class EngineModel(NamedTuple):
@@ -34,6 +41,7 @@ class EngineModel(NamedTuple):
     flops: float          # total FLOPs for the batch
     hbm_bytes: float      # total HBM traffic for the batch
     f32_mxu: bool = True  # True when the GEMMs run at HIGHEST (f32) prec.
+    gather_rows: float = 0.0  # row-gather count (row-rate-limited stage)
 
     @property
     def intensity(self) -> float:
@@ -41,12 +49,16 @@ class EngineModel(NamedTuple):
 
     def bound(self) -> str:
         peak = V5E_PEAK_F32 if self.f32_mxu else V5E_PEAK_BF16
+        g = self.gather_rows / V5E_GATHER_ROWS_PER_S
+        if g >= max(self.flops / peak, self.hbm_bytes / V5E_HBM_BW):
+            return "GATHER"
         ridge = peak / V5E_HBM_BW
         return "MXU" if self.intensity >= ridge else "HBM"
 
     def min_time_s(self) -> float:
         peak = V5E_PEAK_F32 if self.f32_mxu else V5E_PEAK_BF16
-        return max(self.flops / peak, self.hbm_bytes / V5E_HBM_BW)
+        return max(self.flops / peak, self.hbm_bytes / V5E_HBM_BW,
+                   self.gather_rows / V5E_GATHER_ROWS_PER_S)
 
     def report(self, measured_s: float, batch: int) -> dict:
         peak = V5E_PEAK_F32 if self.f32_mxu else V5E_PEAK_BF16
@@ -107,6 +119,36 @@ def model_for_fused_index(fidx, B: int) -> EngineModel:
     TwoD, Sp = fidx.GT.shape
     return fused_flat_model(B, Sp, TwoD // 2,
                             dtype_bytes=fidx.GT.dtype.itemsize)
+
+
+def product_path_model(B: int, Sp: int, D_tree: int, C: int, D_store: int,
+                       gt_dtype_bytes: int = 2, d_raw: int = 0,
+                       backstop: int = 0) -> EngineModel:
+    """End-to-end served path (``CobwebIndex.query_ids``): optional whiten
+    GEMM -> fused sweep -> [optional whitened-L2 backstop pool] -> exact
+    stored-embedding re-rank of C candidates.  The re-rank's (B, C, D)
+    candidate gather is ROW-RATE limited (V5E_GATHER_ROWS_PER_S), which
+    usually IS the composite bound at C=512+ — modeling the full path
+    (instead of the sweep alone) is what makes the e2e roofline fraction
+    meaningful (VERDICT r3 #6)."""
+    # fused sweep
+    flops = 2.0 * B * Sp * 2 * D_tree
+    hbm = 2.0 * D_tree * Sp * gt_dtype_bytes + 2.0 * B * Sp * 4
+    # whiten (raw-store mode): (B, d_raw) x (d_raw, D_tree)
+    if d_raw:
+        flops += 2.0 * B * d_raw * D_tree
+        hbm += d_raw * D_tree * 4 + B * (d_raw + D_tree) * 4
+    # backstop pool: one bf16 (B, D_tree) x (D_tree, Sp) GEMM + f32 scores
+    if backstop:
+        flops += 2.0 * B * Sp * D_tree
+        hbm += D_tree * Sp * 2 + 2.0 * B * Sp * 4
+    # exact re-rank: gather C stored rows per query + distance + top-k
+    pool = C + (backstop or 0)
+    flops += 3.0 * B * pool * D_store
+    hbm += B * pool * D_store * 4
+    gather_rows = float(B * pool)
+    return EngineModel("product_path", flops, hbm, f32_mxu=True,
+                       gather_rows=gather_rows)
 
 
 def gather_path_model(B: int, S: int, N: int, D: int, P: int) -> EngineModel:

@@ -268,7 +268,7 @@ class CobwebIndex:
         self._emb_dev_cache = None
         self._emb_dev_n = 0
         # whitener mode: a SECOND, bf16 store of the whitened (tree-space)
-        # rows backs the proximity backstop pool (see _backstop_chunked);
+        # rows backs the proximity backstop pool (see _product_chunked);
         # ~S*Dw*2 bytes (256 MB at 1M x 128)
         self._wvec_chunks: list = []
         self._wemb_dev_cache = None
@@ -689,16 +689,19 @@ class CobwebIndex:
             if self.use_fused:
                 if rerank:
                     pool = min(max(rerank, kk), n_indexed)
+                    if self.store_embeddings and \
+                            self._emb_device() is not None:
+                        # ONE device program: sweep + backstop + exact
+                        # re-rank (index.fused_query_rerank) — a single
+                        # dispatch per chunk instead of three (each sync
+                        # round trip through the relay costs ~25-30 ms)
+                        return self._product_chunked(q, kk, pool,
+                                                     n_indexed,
+                                                     q_store=q_store)
                     cs, cand = self._fused_chunked(
                         self._fused_index(), q, pool,
                         approx=self.approx_pool,
                         score_dtype=self.fused_score_dtype)
-                    bs = self._backstop_k(pool, n_indexed)
-                    if bs:
-                        bcs, bcand = self._backstop_chunked(q, bs,
-                                                            n_indexed)
-                        cand, cs = index_mod.union_candidates(
-                            cand, cs, bcand, bcs)
                     return self._rerank_step(None, q, cand, cs, kk,
                                              q_store=q_store)
                 # rerank=0 contract: exact raw path-score ORDER -> f32 index
@@ -812,6 +815,60 @@ class CobwebIndex:
         return (jnp.concatenate([o[0] for o in outs]),
                 jnp.concatenate([o[1] for o in outs]))
 
+    def _product_chunked(self, q, kk: int, pool: int, n_indexed: int,
+                         q_store=None):
+        """The product serving path through ONE jitted program per chunk
+        (index.fused_query_rerank: fused sweep + optional backstop union +
+        exact re-rank).  Chunking honors BOTH byte budgets: the (Bc, Sp)
+        score matrix (x2 with the backstop) and the (Bc, C, D) re-rank
+        gather."""
+        fidx = self._fused_index()
+        emb = self._emb_device()
+        qs = q if q_store is None else q_store
+        bs = self._backstop_k(pool, n_indexed)
+        wemb = half_n2 = None
+        nv = None
+        if bs:
+            wemb, half_n2 = self._wemb_device()
+            nv = jnp.asarray(min(n_indexed, len(self.sentences)), jnp.int32)
+        pv = jnp.float32(self.cfg.prior_var)
+
+        B = q.shape[0]
+        score_row = fidx.num_slots * \
+            jnp.dtype(self.fused_score_dtype).itemsize
+        if bs:
+            score_row += wemb.shape[0] * 4
+        gather_row = (pool + bs) * emb.shape[1] * 4
+        bmax = max(32, int(min(self.fused_score_budget // max(score_row, 1),
+                               self.rerank_gather_budget
+                               // max(gather_row, 1))))
+        if bmax < B:
+            bmax = 1 << (bmax.bit_length() - 1)
+
+        def one(qc, qsc):
+            return index_mod.fused_query_rerank(
+                fidx, emb, qc, qsc, kk, pool,
+                wemb=wemb, half_norm2=half_n2, n_valid=nv, bs=bs,
+                approx=self.approx_pool,
+                recall_target=self.approx_recall_target,
+                score_dtype=self.fused_score_dtype, prior_var=pv)
+
+        if B <= bmax:
+            return one(q, qs)
+        outs = []
+        for s in range(0, B, bmax):
+            qc, qsc = q[s:s + bmax], qs[s:s + bmax]
+            n = qc.shape[0]
+            if n < bmax:
+                qc = jnp.concatenate(
+                    [qc, jnp.zeros((bmax - n, q.shape[1]), q.dtype)])
+                qsc = jnp.concatenate(
+                    [qsc, jnp.zeros((bmax - n, qs.shape[1]), qs.dtype)])
+            cs, ids = one(qc, qsc)
+            outs.append((cs[:n], ids[:n]))
+        return (jnp.concatenate([o[0] for o in outs]),
+                jnp.concatenate([o[1] for o in outs]))
+
     def _backstop_k(self, pool: int, n_indexed: int) -> int:
         """Backstop pool size for this query (0 = disabled): ``"auto"``
         enables it at ``backstop_threshold``+ sentences in whitener mode
@@ -829,37 +886,6 @@ class CobwebIndex:
             return 0
         return min(bs, n_indexed)
 
-    def _backstop_chunked(self, q, c: int, n_indexed: int):
-        """Whitened-proximity backstop pool, query batch chunked under the
-        same score-matrix byte budget as the fused sweep (the (Bc, Sw)
-        f32 score matrix dominates)."""
-        wemb, half_n2 = self._wemb_device()
-        nv = jnp.asarray(min(n_indexed, len(self.sentences)), jnp.int32)
-        B = q.shape[0]
-        row = wemb.shape[0] * 4
-        bmax = max(64, int(self.fused_score_budget) // max(row, 1))
-        if bmax < B:
-            bmax = 1 << (bmax.bit_length() - 1)
-
-        def one(qc):
-            return index_mod.backstop_topk(
-                wemb, half_n2, qc, c, nv,
-                approx=self.approx_pool,
-                recall_target=self.approx_recall_target)
-
-        if B <= bmax:
-            return one(q)
-        outs = []
-        for s in range(0, B, bmax):
-            qc = q[s:s + bmax]
-            n = qc.shape[0]
-            if n < bmax:
-                qc = jnp.concatenate(
-                    [qc, jnp.zeros((bmax - n, q.shape[1]), q.dtype)])
-            cs, ids = one(qc)
-            outs.append((cs[:n], ids[:n]))
-        return (jnp.concatenate([o[0] for o in outs]),
-                jnp.concatenate([o[1] for o in outs]))
 
     def _pallas_topk(self, bidx, idx, q, kk: int, rerank: int,
                      q_store=None):

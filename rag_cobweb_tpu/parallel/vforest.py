@@ -557,6 +557,18 @@ class VForest:
         needed = self._alloc_hi + 2 * rounds + 8
         if needed <= cap:
             return
+        # The pure worst-case bound (2 fresh nodes per insert) overshoots
+        # the REAL allocation ~1.6x (measured ~1.25 nodes/sentence on the
+        # hard set), so at scale it crosses cap long before the state is
+        # actually full — and the grow below holds a 2x transient that
+        # OOM'd every 4M attempt (r3 and r4: all died mid-build right
+        # where cumulative 2*inserts crossed cap).  Before paying that,
+        # refresh the bound from the device (one tiny scalar fetch, only
+        # on this rare path) and re-check.
+        self._alloc_hi = int(jax.device_get(jnp.max(st.n_alloc)))
+        needed = self._alloc_hi + 2 * rounds + 8
+        if needed <= cap:
+            return
         new_cap = tree_mod.align_capacity(max(needed, 2 * cap))
         pad = new_cap - cap
         K, D, F = st.counts.shape[0], st.means.shape[2], st.children.shape[2]

@@ -346,18 +346,44 @@ def main():
 
         # THE PRODUCT PATH: wrapper dispatch — bf16 FUSED sweep (one
         # [q,q^2] @ (2D,S) GEMM) + approx candidate pool +
-        # stored-embedding EXACT re-rank
+        # stored-embedding EXACT re-rank.  Modeled END-TO-END (sweep +
+        # whiten + backstop + row-rate-bounded re-rank gather), not as the
+        # sweep alone — VERDICT r3 #6
+        Sp_f = db._fused_index().num_slots
+        bs_sz = db._backstop_k(args.rerank, size)
         run_eval("product_query_ids",
                  lambda qb, k: db.query_ids(qb, k, rerank=args.rerank),
-                 rl.model_for_fused_index(db._fused_index(), args.batch),
+                 rl.product_path_model(
+                     args.batch, Sp_f, D, args.rerank, D_store,
+                     d_raw=(D_store if args.raw_store else 0),
+                     backstop=bs_sz),
                  required=True)
+
+        # ablation: backstop OFF (path-score pool only) — isolates what
+        # the whitened-proximity backstop pool buys at this scale
+        if bs_sz:
+            def no_backstop(qb, k):
+                old = db.backstop_pool
+                db.backstop_pool = 0
+                try:
+                    return db.query_ids(qb, k, rerank=args.rerank)
+                finally:
+                    db.backstop_pool = old
+            run_eval("product_nobackstop", no_backstop,
+                     rl.product_path_model(
+                         args.batch, Sp_f, D, args.rerank, D_store,
+                         d_raw=(D_store if args.raw_store else 0),
+                         backstop=0))
 
         # ablation: the product path with a 2x re-rank pool — extends the
         # recall-vs-pool curve (tuning_sweep.py measures it at 100k) to
         # this scale; if recall moves, the auto pool size is undersized
         run_eval("product_rerank2x",
                  lambda qb, k: db.query_ids(qb, k, rerank=2 * args.rerank),
-                 rl.model_for_fused_index(db._fused_index(), args.batch))
+                 rl.product_path_model(
+                     args.batch, Sp_f, D, 2 * args.rerank, D_store,
+                     d_raw=(D_store if args.raw_store else 0),
+                     backstop=db._backstop_k(2 * args.rerank, size)))
 
         # ablation: the round-3 blocked engine (bf16 blocked sweep +
         # approx pool + exact re-rank) — what the fused association saves
