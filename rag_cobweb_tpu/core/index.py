@@ -605,7 +605,7 @@ def backstop_topk(wemb: jnp.ndarray, half_norm2: jnp.ndarray,
     index covers (pending/delta rows merge elsewhere).  Monotone in L2:
     q.w - 0.5||w||^2 = -0.5||q - w||^2 + const(q).  Returns
     (scores (B, c) f32, sentence ids (B, c))."""
-    s = jnp.matmul(queries.astype(jnp.bfloat16), wemb.T,
+    s = jnp.matmul(queries.astype(wemb.dtype), wemb.T,
                    preferred_element_type=jnp.float32) - half_norm2[None, :]
     col = jnp.arange(s.shape[1], dtype=jnp.int32)[None, :]
     s = jnp.where(col < n_valid, s, -jnp.inf)

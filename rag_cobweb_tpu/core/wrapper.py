@@ -305,15 +305,29 @@ class CobwebIndex:
         return self._emb_dev_cache
 
     def _wemb_device(self):
-        """(cap, Dw) bf16 whitened store + (cap,) f32 half-norms on device,
-        or None.  Same bucketed-capacity contract as ``_emb_device`` (the
-        backstop GEMM compiles per shape).  On checkpoints saved without
-        whitened chunks the store is rebuilt from the raw rows through the
-        whitener (one-off host transform)."""
-        if (self.whitener is None or not self.store_embeddings
-                or not self._vec_chunks):
+        """(cap, Dw) whitened store + (cap,) f32 half-norms on device, or
+        None — the backstop pool's GEMM operands.  Whitener mode keeps a
+        dedicated bf16 copy of the whitened rows; WITHOUT a whitener the
+        tree space IS the store space, so the backstop keys directly on
+        the f32 re-rank store (no second copy).  Same bucketed-capacity
+        contract as ``_emb_device`` (the backstop GEMM compiles per
+        shape).  On checkpoints saved without whitened chunks the store
+        is rebuilt from the raw rows through the whitener (one-off host
+        transform)."""
+        if not self.store_embeddings or not self._vec_chunks:
             return None
         n = len(self.sentences)
+        if self.whitener is None:
+            emb = self._emb_device()
+            if emb is None:
+                return None
+            if self._wemb_dev_cache is None or self._wemb_dev_n != n:
+                self._wemb_dev_cache = (
+                    emb,
+                    0.5 * jnp.sum(jnp.square(emb.astype(jnp.float32)),
+                                  axis=1))
+                self._wemb_dev_n = n
+            return self._wemb_dev_cache
         if self._wemb_dev_cache is None or self._wemb_dev_n != n:
             import ml_dtypes
             if not self._wvec_chunks:   # checkpoint load: rebuild

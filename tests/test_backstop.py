@@ -100,3 +100,21 @@ def test_wrapper_backstop_auto_gates_on_scale(raw_db):
         assert db._backstop_k(64, len(docs)) == 64
     finally:
         db.backstop_threshold = type(db).backstop_threshold
+
+
+def test_backstop_without_whitener_uses_store():
+    """Non-whitener mode: the backstop keys directly on the f32 re-rank
+    store (tree space == store space), no second copy."""
+    rng = np.random.default_rng(7)
+    docs = rng.normal(size=(300, 16)).astype(np.float32)
+    db = CobwebIndex(corpus=None, corpus_embeddings=docs,
+                     config=TreeConfig(dim=16))
+    db.blocked_threshold = 64
+    db.backstop_pool = 32
+    wemb, half = db._wemb_device()
+    assert wemb is db._emb_device()          # shared buffer, no copy
+    ids = np.asarray(db.query_ids(docs[:16], 5, rerank=8))
+    for b in range(16):
+        assert b in ids[b]
+        live = [i for i in ids[b] if i >= 0]
+        assert len(live) == len(set(live))
