@@ -57,6 +57,9 @@ def main():
                         "ranking (bench.py measures delta 0.000 vs raw "
                         "exact at c=10k).  Uses a separate raw cache "
                         "(corpus + queries + pickled whitener)")
+    p.add_argument("--score-budget", type=float, default=None,
+                   help="override wrapper fused_score_budget (GB): fewer "
+                        "query chunks per sweep when HBM headroom allows")
     p.add_argument("--backstop", type=int, default=-1,
                    help="whitened-proximity backstop pool size for the "
                         "product engine (-1 = wrapper auto: on at scale "
@@ -198,6 +201,8 @@ def main():
                      n_subtrees=K, seed=0, whitener=whitener)
     if args.backstop >= 0:
         db.backstop_pool = args.backstop
+    if args.score_budget:
+        db.fused_score_budget = int(args.score_budget * (1 << 30))
     t0 = time.perf_counter()
     # budgets=(24,): pre-compile the first escalation rung too — at 1M+
     # the deep-descent fraction crosses the 8% ladder threshold and the
