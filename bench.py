@@ -251,6 +251,13 @@ def main():
         "recall_delta_vs_exact": round(delta, 4),
         "ref_recall_delta_vs_exact": round(ref_exact_recall - ref_recall, 4),
         "ref_recall@10": ref_recall,
+        # weather control: the exact flat scan's latency THROUGH THE SAME
+        # relay in the same run — relay-degraded windows inflate every
+        # latency 3-7x (RESULTS.md round-4 distribution), so the
+        # cobweb/exact ratio is the environment-normalized reading
+        "exact_latency_ms": round(exact["avg_latency_ms"], 4),
+        "latency_vs_exact": round(
+            ours_ms / max(exact["avg_latency_ms"], 1e-9), 3),
         "build_inserts_per_s": round(rate, 1),
         "build_total_s": round(build_s, 1),
         "build_device": build_dev,

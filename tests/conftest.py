@@ -17,3 +17,19 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# The XLA:CPU compiler segfaults reproducibly when the ~190th program of
+# one pytest process compiles (observed twice at the same test with
+# different orderings of preceding modules; any single module passes
+# alone).  Dropping the jit executable caches at module boundaries keeps
+# the per-process compiled-program population bounded and avoids the
+# crash; modules recompile their own programs anyway, so the cost is
+# small.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_program_population():
+    yield
+    jax.clear_caches()
