@@ -1383,7 +1383,7 @@ def fused_query_rerank(fidx: FusedIndex, emb: jnp.ndarray,
     synchronous program round trip costs ~25-30 ms of latency floor, so
     splitting sweep/backstop/re-rank across separate jit calls taxed every
     serving batch with extra floors (VERDICT r3 #6 — the e2e path measured
-    19.5%% of roofline while its pool stage alone ran at 65-75%%).  The
+    19.5% of roofline while its pool stage alone ran at 65-75%).  The
     constituent jitted functions inline here; results are bitwise
     identical to the split dispatch."""
     cs, cand = fused_query_topk(fidx, queries, c, approx=approx,
