@@ -218,22 +218,33 @@ def main():
     index_s = time.perf_counter() - t0
     log(f"[bench] index build + engine warmup: {index_s:.1f}s")
 
-    res = evaluate_retrieval(
-        "Cobweb PCA+ICA Fast (TPU)",
-        lambda q, k: db.query_ids(q, k, rerank=rerank),
-        queries, data.target_ids, args.k, batch_size=args.batch,
-    )
-    log(f"[bench] cobweb: recall@10={res.get('recall@10'):.4f} "
-        f"latency={res['avg_latency_ms']:.3f} ms/query "
-        f"({res['qps']:.0f} qps)")
-
+    # the exact flat scan doubles as the relay-weather CONTROL: in
+    # degraded windows every latency through the relay inflates 3-7x
+    # (RESULTS.md round-4 distribution), so if the control exceeds ~3x
+    # its clean-relay ceiling (~0.10-0.19 ms/q at c=10k) the whole
+    # measurement is re-taken once
     flat = FlatIndex(data.corpus_embs, metric="l2")
-    exact = evaluate_retrieval(
-        "Exact flat (TPU)", lambda q, k: flat.search(q, k),
-        data.query_embs, data.target_ids, args.k, batch_size=args.batch,
-    )
-    log(f"[bench] exact:  recall@10={exact.get('recall@10'):.4f} "
-        f"latency={exact['avg_latency_ms']:.3f} ms/query")
+    for attempt in range(2):
+        res = evaluate_retrieval(
+            "Cobweb PCA+ICA Fast (TPU)",
+            lambda q, k: db.query_ids(q, k, rerank=rerank),
+            queries, data.target_ids, args.k, batch_size=args.batch,
+        )
+        log(f"[bench] cobweb: recall@10={res.get('recall@10'):.4f} "
+            f"latency={res['avg_latency_ms']:.3f} ms/query "
+            f"({res['qps']:.0f} qps)")
+
+        exact = evaluate_retrieval(
+            "Exact flat (TPU)", lambda q, k: flat.search(q, k),
+            data.query_embs, data.target_ids, args.k, batch_size=args.batch,
+        )
+        log(f"[bench] exact:  recall@10={exact.get('recall@10'):.4f} "
+            f"latency={exact['avg_latency_ms']:.3f} ms/query")
+        if exact["avg_latency_ms"] < 0.60 * args.corpus_size / 10000 \
+                or attempt:
+            break
+        log("[bench] exact control degraded (relay weather) — "
+            "re-measuring once")
 
     ref_latency_ms = 53.1    # BASELINE.md: Cobweb PCA+ICA Fast, QQP c=10000
     ref_recall = 0.906       # reference cobweb on QQP roberta c=10000
