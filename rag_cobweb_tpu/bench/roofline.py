@@ -25,13 +25,24 @@ from typing import NamedTuple
 V5E_PEAK_BF16 = 197e12   # FLOP/s
 V5E_PEAK_F32 = 98e12     # FLOP/s (HIGHEST-precision passes)
 V5E_HBM_BW = 819e9       # bytes/s
-# Measured device row-gather rate (CLAUDE.md round-3 lesson; confirmed by
-# scripts/rerank_stage_probe.py): TPU row gathers are row-RATE-limited at
-# ~21M rows/s at ANY row width, far below what the byte roofline allows —
-# a gather-stage bound must use this, not bytes/BW, or the composite
-# roofline overstates what the hardware can do and every gather-bearing
-# path reads as "inefficient" against an unreachable bound.
-V5E_GATHER_ROWS_PER_S = 21e6
+# Measured device row-gather cost (scripts/gather_probe.py, 1M-row
+# corpus, B=1024 x C=512 distinct-index dispatches): 35-37M rows/s at
+# D=128 and 23-25M rows/s at D=768 — far below the byte roofline, so a
+# gather-stage bound must use the measured rate or every gather-bearing
+# path reads as "inefficient" against an unreachable bound.  Two-point
+# fit: t_row ~ 25 ns fixed + row_bytes / 170 GB/s.  (The r3 constant was
+# a single 21M rows/s point; a Pallas manual-DMA gather was prototyped
+# to beat this but the remote compile service's Mosaic backend rejects
+# manual-DMA kernels outright — HTTP 500 on every variant — so the XLA
+# gather rate stands as the device bound for now.)
+GATHER_ROW_OVERHEAD_S = 25e-9
+GATHER_BW = 170e9
+V5E_GATHER_ROWS_PER_S = 21e6   # legacy single-point constant (kept for
+#                                width-unknown callers)
+
+
+def gather_time_s(rows: float, row_bytes: float) -> float:
+    return rows * (GATHER_ROW_OVERHEAD_S + row_bytes / GATHER_BW)
 
 
 class EngineModel(NamedTuple):
@@ -42,12 +53,19 @@ class EngineModel(NamedTuple):
     hbm_bytes: float      # total HBM traffic for the batch
     f32_mxu: bool = True  # True when the GEMMs run at HIGHEST (f32) prec.
     gather_rows: float = 0.0  # row-gather count (row-rate-limited stage)
+    # SEQUENTIAL multi-stage paths set these: stage minima SUM (one core
+    # runs the stages back to back — max() composition would pretend the
+    # gather overlaps the sweep) and the dominant stage names the bound
+    min_time_override_s: float = 0.0
+    bound_override: str = ""
 
     @property
     def intensity(self) -> float:
         return self.flops / max(self.hbm_bytes, 1.0)
 
     def bound(self) -> str:
+        if self.bound_override:
+            return self.bound_override
         peak = V5E_PEAK_F32 if self.f32_mxu else V5E_PEAK_BF16
         g = self.gather_rows / V5E_GATHER_ROWS_PER_S
         if g >= max(self.flops / peak, self.hbm_bytes / V5E_HBM_BW):
@@ -56,6 +74,8 @@ class EngineModel(NamedTuple):
         return "MXU" if self.intensity >= ridge else "HBM"
 
     def min_time_s(self) -> float:
+        if self.min_time_override_s > 0:
+            return self.min_time_override_s
         peak = V5E_PEAK_F32 if self.f32_mxu else V5E_PEAK_BF16
         return max(self.flops / peak, self.hbm_bytes / V5E_HBM_BW,
                    self.gather_rows / V5E_GATHER_ROWS_PER_S)
@@ -126,29 +146,45 @@ def product_path_model(B: int, Sp: int, D_tree: int, C: int, D_store: int,
                        backstop: int = 0) -> EngineModel:
     """End-to-end served path (``CobwebIndex.query_ids``): optional whiten
     GEMM -> fused sweep -> [optional whitened-L2 backstop pool] -> exact
-    stored-embedding re-rank of C candidates.  The re-rank's (B, C, D)
-    candidate gather is ROW-RATE limited (V5E_GATHER_ROWS_PER_S), which
-    usually IS the composite bound at C=512+ — modeling the full path
-    (instead of the sweep alone) is what makes the e2e roofline fraction
-    meaningful (VERDICT r3 #6)."""
-    # fused sweep
-    flops = 2.0 * B * Sp * 2 * D_tree
-    hbm = 2.0 * D_tree * Sp * gt_dtype_bytes + 2.0 * B * Sp * 4
-    # whiten (raw-store mode): (B, d_raw) x (d_raw, D_tree)
+    stored-embedding re-rank of C candidates.
+
+    The path's stages run SEQUENTIALLY on the one core, so the composite
+    bound is the SUM of per-stage minima (a max() composition would
+    pretend the re-rank gather overlaps the sweep); the gather stage uses
+    the measured per-row cost (``gather_time_s``).  Modeling the full
+    path instead of the sweep alone is what makes the e2e roofline
+    fraction meaningful (VERDICT r3 #6)."""
+    stage_times = {}
+    # fused sweep (+ whiten folded in — it is negligible next to it)
+    sweep_flops = 2.0 * B * Sp * 2 * D_tree
+    sweep_hbm = 2.0 * D_tree * Sp * gt_dtype_bytes + 2.0 * B * Sp * 4
+    flops, hbm = sweep_flops, sweep_hbm
     if d_raw:
         flops += 2.0 * B * d_raw * D_tree
         hbm += d_raw * D_tree * 4 + B * (d_raw + D_tree) * 4
-    # backstop pool: one bf16 (B, D_tree) x (D_tree, Sp) GEMM + f32 scores
+    stage_times["HBM"] = max(flops / V5E_PEAK_F32, hbm / V5E_HBM_BW)
+    # backstop pool: one (B, D_tree) x (D_tree, Sp) GEMM + f32 scores
     if backstop:
-        flops += 2.0 * B * Sp * D_tree
-        hbm += D_tree * Sp * 2 + 2.0 * B * Sp * 4
-    # exact re-rank: gather C stored rows per query + distance + top-k
+        bs_flops = 2.0 * B * Sp * D_tree
+        bs_hbm = D_tree * Sp * 2 + 2.0 * B * Sp * 4
+        flops += bs_flops
+        hbm += bs_hbm
+        stage_times["BACKSTOP"] = max(bs_flops / V5E_PEAK_F32,
+                                      bs_hbm / V5E_HBM_BW)
+    # exact re-rank: gather `pool` stored rows per query + distance + topk
     pool = C + (backstop or 0)
-    flops += 3.0 * B * pool * D_store
-    hbm += B * pool * D_store * 4
-    gather_rows = float(B * pool)
+    rr_flops = 3.0 * B * pool * D_store
+    rr_hbm = B * pool * D_store * 4
+    flops += rr_flops
+    hbm += rr_hbm
+    stage_times["GATHER"] = max(rr_flops / V5E_PEAK_F32,
+                                gather_time_s(B * pool, D_store * 4))
+    min_t = sum(stage_times.values())
+    dominant = max(stage_times, key=stage_times.get)
     return EngineModel("product_path", flops, hbm, f32_mxu=True,
-                       gather_rows=gather_rows)
+                       gather_rows=float(B * pool),
+                       min_time_override_s=min_t,
+                       bound_override=dominant)
 
 
 def gather_path_model(B: int, S: int, N: int, D: int, P: int) -> EngineModel:

@@ -62,3 +62,27 @@ def test_phase_timer_accumulates():
     assert "a" in s and "mean_ms" in s
     d = t.as_dict()
     assert d["a"]["calls"] == 2
+
+
+def test_roofline_product_path_model():
+    """Composite product-path model: sequential stage-sum bound, dominant
+    stage names the bound, measured-gather-cost term scales with rows and
+    row bytes."""
+    from rag_cobweb_tpu.bench import roofline as rl
+
+    m = rl.product_path_model(1024, 1_000_000, 128, 512, 128)
+    assert m.min_time_override_s > 0
+    # the re-rank gather dominates this configuration
+    assert m.bound() == "GATHER"
+    rep = m.report(2 * m.min_time_override_s, 1024)
+    assert abs(rep["roofline_frac"] - 0.5) < 0.01
+
+    big = rl.product_path_model(512, 4_000_000, 128, 512, 128)
+    assert big.bound() == "HBM"   # the (B, Sp) score traffic dominates
+    with_bs = rl.product_path_model(512, 4_000_000, 128, 512, 128,
+                                    backstop=256)
+    assert with_bs.min_time_override_s > big.min_time_override_s
+
+    # gather cost: linear in rows, increasing in row bytes
+    assert rl.gather_time_s(2000, 512) == 2 * rl.gather_time_s(1000, 512)
+    assert rl.gather_time_s(1000, 3072) > rl.gather_time_s(1000, 512)
