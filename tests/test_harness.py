@@ -191,3 +191,31 @@ def test_ingress_rehearsal_drop_in_cache(tmp_path):
     methods = {row["method"] for row in rows}
     assert any("Cobweb" in m for m in methods), methods
     assert any("Flat" in m for m in methods), methods
+
+
+def test_exact_scan_streaming_fold(tmp_path):
+    """scripts/exact_scan.py's chunked running-top-k must equal the
+    one-shot exact scan (it produces the recall ceilings RESULTS cites)."""
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(1000, 16)).astype(np.float32)
+    queries = corpus[::50][:20] + 0.01 * rng.normal(size=(20, 16)).astype(
+        np.float32)
+    target_ids = np.arange(1000)[::50][:20]
+    cache = tmp_path / "cache.npz"
+    np.savez(cache, corpus_w=corpus, queries_w=queries,
+             target_ids=target_ids)
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu'); "
+         "import sys, runpy; sys.argv=['exact_scan.py','--cache',"
+         f"{str(cache)!r},'--chunk','256']; "
+         f"runpy.run_path({os.path.join(repo,'scripts','exact_scan.py')!r},"
+         "run_name='__main__')"],
+        capture_output=True, text=True, timeout=300, cwd=repo)
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-800:]
+    # self-retrieval with 0.01 noise: the fold must find every planted gold
+    assert "recall@10 = 1.0000" in r.stdout, r.stdout[-500:]
