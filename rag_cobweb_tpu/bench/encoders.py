@@ -109,6 +109,16 @@ def sentences_cache_path(root: str, kind: str, unique_id: str) -> str:
     return os.path.join(root, "data", "sentences", f"{kind}_{unique_id}.txt")
 
 
+def target_ids_cache_path(root: str, unique_id: str) -> str:
+    """data/sentences/target_ids_<uid>.npy — persisted gold row indices.
+    The sentence text cache is LOSSY (``save_sentences`` flattens embedded
+    newlines), so target row ids must be stored, not re-derived by string
+    match over the round-tripped text (ADVICE r4: two corpus rows that
+    differed only by newline-vs-space collapse and remap the target)."""
+    return os.path.join(root, "data", "sentences",
+                        f"target_ids_{unique_id}.npy")
+
+
 def save_sentences(path: str, sentences) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:

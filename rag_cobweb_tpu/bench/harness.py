@@ -92,20 +92,32 @@ class BenchmarkRunner:
             # real-data ingress path on zero-egress hosts
             spaths = {k: encoders.sentences_cache_path(self.root, k, uid)
                       for k in ("corpus", "queries", "targets")}
+            tpath = encoders.target_ids_cache_path(self.root, uid)
             cached = {k: encoders.load_sentences(p)
                       for k, p in spaths.items()}
+            target_ids = None
             if all(v is not None for v in cached.values()):
                 data = datasets.RetrievalDataset(
                     cached["corpus"], cached["queries"], cached["targets"],
                     f"{self.dataset_name}_cached_{uid}",
                 )
+                if os.path.exists(tpath):
+                    # persisted row indices are authoritative: the sentence
+                    # cache is lossy (embedded newlines were rewritten to
+                    # spaces on save), so re-deriving ids by string match
+                    # can remap a target onto the wrong row and silently
+                    # skew recall against the row-indexed .npy embeddings
+                    target_ids = np.load(tpath).astype(np.int64)
             else:
                 data = self.load_data(subset_size, target_size, split, seed)
                 for k in spaths:
                     encoders.save_sentences(spaths[k], getattr(data, k))
-            target_ids = np.asarray(
-                [data.corpus.index(t) for t in data.targets], np.int64
-            )
+            if target_ids is None:
+                target_ids = np.asarray(
+                    [data.corpus.index(t) for t in data.targets], np.int64
+                )
+                os.makedirs(os.path.dirname(tpath), exist_ok=True)
+                np.save(tpath, target_ids)
             if corpus_embs is None:
                 # encoder construction is LAZY: with both .npy caches
                 # present no encoder (and no model download) is ever built

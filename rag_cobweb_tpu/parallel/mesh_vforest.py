@@ -118,15 +118,33 @@ class MeshVForest:
             self.state, put(xs), put(keys), put(mask),
             jnp.asarray(R_max, jnp.int32),
         )
-        leaves = np.asarray(leaves)
+        leaves = np.array(leaves)   # writable copy (jax->np views are RO)
         if (leaves[mask] < 0).any():
-            # the composed layout runs every descent at the deep budget;
-            # anything past it is the pathological near-dup chain case —
-            # surface it rather than recording unretrievable sentences
-            raise RuntimeError(
-                "mesh-vforest insert exceeded the deep scan budget "
-                f"({vf._DEEP_STEPS} steps) for "
-                f"{int((leaves[mask] < 0).sum())} instances")
+            # descents past the deep budget (near-duplicate fringe chains,
+            # the depth-96+ case): escalate each failed (lane, slot) to the
+            # per-lane exact path — the same fallback single-device
+            # VForest.add uses — instead of aborting a composed build whose
+            # bookkeeping is already partially applied on device.  Raise
+            # only for the truly pathological >_EXACT_STEPS descent.
+            keys_np = np.asarray(keys)
+            for lane, slot in np.argwhere(mask & (leaves < 0)):
+                self.state, lf = vf._insert_one_lane(
+                    self.state, jnp.asarray(int(lane), jnp.int32),
+                    jnp.asarray(xs[lane, slot]),
+                    jnp.asarray(keys_np[lane, slot]), self.cfg,
+                )
+                if int(lf) < 0:
+                    raise RuntimeError(
+                        "mesh-vforest insert exceeded the exact scan cap "
+                        f"(_EXACT_STEPS={vf._EXACT_STEPS}) in lane "
+                        f"{int(lane)} — raise the cap")
+                leaves[lane, slot] = int(lf)
+            # the exact-path program is a plain jit: re-pin the state to
+            # the shard layout the next _mesh_vinsert call expects
+            self.state = jax.device_put(self.state, jax.tree.map(
+                lambda a: NamedSharding(
+                    self.mesh, P(self.axis, *([None] * (a.ndim - 1)))),
+                self.state))
 
         base = np.asarray([len(l) for l in self._leaf_of_local])
         pos_of = np.empty(B, np.int64)

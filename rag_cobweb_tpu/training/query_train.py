@@ -94,10 +94,12 @@ class CobwebQueryTrainer:
         query_embs = np.asarray(query_embs, np.float32)
         gold_rows = np.asarray(gold_rows, np.int32)
         rng = np.random.default_rng(seed)
-        n = (len(query_embs) // batch_size) * batch_size
+        # never a zero-step epoch: datasets smaller than one batch wrap
+        # (same rule as text_encoder.fit)
+        n = max((len(query_embs) // batch_size) * batch_size, batch_size)
         losses = []
         for epoch in range(1, epochs + 1):
-            order = rng.permutation(len(query_embs))[:n]
+            order = np.resize(rng.permutation(len(query_embs)), n)
             total = 0.0
             for s in range(0, n, batch_size):
                 sel = order[s:s + batch_size]
@@ -142,10 +144,13 @@ class CobwebQueryTrainer:
         query_embs = np.asarray(query_embs, np.float32)
         gold_rows = np.asarray(gold_rows, np.int32)
         rng = np.random.default_rng(seed)
-        n = (len(query_embs) // batch_size) * batch_size
+        # never a zero-step epoch (silently returning 0.0 losses when the
+        # dataset is smaller than one batch): wrap the order like
+        # text_encoder.fit_dp does
+        n = max((len(query_embs) // batch_size) * batch_size, batch_size)
         losses = []
         for epoch in range(1, epochs + 1):
-            order = rng.permutation(len(query_embs))[:n]
+            order = np.resize(rng.permutation(len(query_embs)), n)
             total = 0.0
             for s in range(0, n, batch_size):
                 sel = order[s:s + batch_size]
