@@ -173,8 +173,7 @@ class CobwebIndex:
         if self.whitener is not None:
             # tree + pool in whitened space; the vec store (exact re-rank,
             # pending closed form) keeps the RAW rows
-            new_vectors = np.asarray(
-                self.whitener.transform(store_vecs), np.float32)
+            new_vectors = self._whiten_for_build(store_vecs)
         if new_vectors.shape[1] != self.cfg.dim:
             raise ValueError(
                 f"vector dim {new_vectors.shape[1]} != tree dim {self.cfg.dim}"
@@ -522,6 +521,26 @@ class CobwebIndex:
         if with_store:
             return qt, dev, single
         return qt, single
+
+    def _whiten_for_build(self, raw: np.ndarray) -> np.ndarray:
+        """RAW -> tree-space rows for the INSERT path, computed on the
+        build device.  The raw-store build used to whiten every chunk in
+        host numpy on the single host core — ~40% of raw-mode build
+        throughput at 2M (VERDICT r4 #4); ``transform_jit`` is the same
+        one-matmul program the serving path already uses, so build and
+        serve now share the exact same transform.  Runs under the
+        forest's build-device context so cold-cache CPU builds don't
+        queue a chip compile behind the minutes-long insert-program
+        compile (the remote compile service serializes)."""
+        t = getattr(self.whitener, "transform_jit", None)
+        if t is None:   # duck-typed whitener without a device transform
+            return np.asarray(self.whitener.transform(raw), np.float32)
+        import contextlib
+        ctx = (self.forest._dev_ctx() if self.forest is not None
+               else contextlib.nullcontext())
+        with ctx:
+            out = t(jnp.asarray(raw))
+        return np.asarray(out, np.float32)
 
     def _whiten_device(self, arr):
         """RAW -> tree-space query batch ON DEVICE: the fused one-matmul

@@ -313,6 +313,15 @@ def main():
                "flatten_s": round(flat_s, 2),
                "blocked_build_s": round(blocked_s, 2), **row_extra}
 
+        # relay-weather control (VERDICT r4 #5): a tiny exact scan in
+        # STORE space measured inside every row's window; clean batch
+        # latency = the ~30 ms dispatch floor, so >90 ms marks a degraded
+        # relay and evaluate_retrieval re-measures that row once
+        ctrl = FlatIndex(corpus_feed[:min(size, 10000)], metric="l2")
+
+        def ctrl_fn(qb, k):
+            return ctrl.search_device(qb, k)
+
         def run_eval(name, fn, model=None, required=False, q_eval=None):
             # ablation rows degrade gracefully on HBM exhaustion (the
             # product row is required); keeps large-batch runs crash-safe
@@ -327,14 +336,27 @@ def main():
             return _run_eval_inner(name, fn, model, q_eval)
 
         def _run_eval_inner(name, fn, model=None, q_eval=None):
+            # the control shares the measured fn's query space; rows with
+            # a custom q_eval (whitened-space baselines) skip it rather
+            # than scan a mismatched-dim corpus
             r = evaluate_retrieval(name, fn,
                                    q if q_eval is None else q_eval,
-                                   gold, args.k, batch_size=args.batch)
+                                   gold, args.k, batch_size=args.batch,
+                                   control_fn=(ctrl_fn if q_eval is None
+                                               else None),
+                                   control_threshold_ms=90.0)
             row[f"{name}_recall@{args.k}"] = round(
                 r.get(f"recall@{args.k}", 0.0), 4)
             row[f"{name}_ms"] = round(r["avg_latency_ms"], 4)
             row[f"{name}_batch_ms"] = round(r["batch_latency_ms"], 2)
             row[f"{name}_qps"] = round(r["qps"], 1)
+            if "control_batch_ms" in r:
+                row[f"{name}_control_batch_ms"] = round(
+                    r["control_batch_ms"], 2)
+                row[f"{name}_vs_control"] = round(
+                    r["latency_vs_control"], 2)
+                if r.get("control_requeued"):
+                    row[f"{name}_control_requeued"] = True
             msg = (f"[1m]   {name}: recall@{args.k} "
                    f"{row[f'{name}_recall@{args.k}']} "
                    f"{row[f'{name}_ms']} ms/q")
@@ -485,7 +507,7 @@ def main():
         # (bf16 blocked + fused + stored-embedding) replicas of the 500k
         # checkpoint otherwise stay alive through locals/wrapper caches
         # (this OOM'd the B=2048 run during the second 500k of inserts)
-        del bidx, flat, fidx
+        del bidx, flat, fidx, ctrl
         db._invalidate_index()
         db._emb_dev_cache = None
         # the flatten diff snapshot keeps DEVICE copies of children/parent

@@ -135,13 +135,29 @@ def main():
             # (single-core build; skipped at the largest sizes)
             hnsw = native.make_native_hnsw_retriever(corpus_w[:size], ef=100)
             evals.append(("hnsw_cpp", hnsw, q, gold))
+        # relay-weather control (VERDICT r4 #5): tiny whitened exact scan
+        # probed in each row's window; >90 ms/batch (vs the ~30 ms clean
+        # dispatch floor) = degraded relay -> that row re-measures once
+        ctrl = FlatIndex(corpus_w[:min(size, 10000)], metric="l2")
         for name, fn, qq, gg in evals:
-            r = evaluate_retrieval(name, fn, qq, gg, args.k,
-                                   batch_size=args.batch)
+            in_w = qq is q   # control only for whitened-space rows
+            r = evaluate_retrieval(
+                name, fn, qq, gg, args.k, batch_size=args.batch,
+                control_fn=((lambda qb, k: ctrl.search_device(qb, k))
+                            if in_w else None),
+                control_threshold_ms=90.0)
             row[f"{name}_recall@{args.k}"] = round(
                 r.get(f"recall@{args.k}", 0.0), 4)
             row[f"{name}_qps"] = round(r["qps"], 1)
             row[f"{name}_ms"] = round(r["avg_latency_ms"], 4)
+            if "control_batch_ms" in r:
+                row[f"{name}_control_batch_ms"] = round(
+                    r["control_batch_ms"], 2)
+                row[f"{name}_vs_control"] = round(
+                    r["latency_vs_control"], 2)
+                if r.get("control_requeued"):
+                    row[f"{name}_control_requeued"] = True
+        del ctrl
         results.append(row)
         print(json.dumps(row), flush=True)
 

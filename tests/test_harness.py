@@ -32,6 +32,46 @@ def test_retrieval_metrics_known_ranks():
     assert m["ndcg@5"] == pytest.approx(want_ndcg)
 
 
+def test_evaluate_retrieval_weather_control():
+    """The in-window relay-weather control: control fields appear in the
+    result, and a control breaching the threshold re-measures exactly once
+    (VERDICT r4 #5 — the bench.py weather logic, now inside the
+    evaluator)."""
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(40, 8)).astype(np.float32)
+    gold = np.arange(40)
+    calls = {"main": 0, "ctrl": 0}
+
+    def retrieve(qb, k):
+        calls["main"] += 1
+        return np.tile(np.arange(k), (len(qb), 1))
+
+    def control(qb, k):
+        calls["ctrl"] += 1
+        return np.tile(np.arange(k), (len(qb), 1))
+
+    r = metrics.evaluate_retrieval(
+        "m", retrieve, q, gold, 5, batch_size=16,
+        control_fn=control, control_threshold_ms=1e9)
+    assert "control_batch_ms" in r and "control_ms" in r
+    assert r["latency_vs_control"] > 0
+    assert r["control_requeued"] is False
+    base_ctrl = calls["ctrl"]
+
+    calls["main"] = calls["ctrl"] = 0
+    # impossible threshold -> exactly ONE requeue, then accept
+    r2 = metrics.evaluate_retrieval(
+        "m", retrieve, q, gold, 5, batch_size=16,
+        control_fn=control, control_threshold_ms=-1.0)
+    assert r2["control_requeued"] is True
+    assert calls["ctrl"] == 2 * base_ctrl - 1  # both windows (warmup once)
+
+    # no control -> no control fields (back-compat)
+    r3 = metrics.evaluate_retrieval("m", retrieve, q, gold, 5,
+                                    batch_size=16)
+    assert "control_batch_ms" not in r3 and "control_requeued" not in r3
+
+
 def test_metrics_table_round_trip(tmp_path):
     rows = [
         {"method": "Flat IP (TPU)", "recall@5": 0.91, "recall@10": 0.95,
