@@ -300,7 +300,21 @@ def synthetic_retrieval_hard(corpus_size: int = 10000,
 
     centers = rng.normal(size=(n_clusters, dim)).astype(np.float32)
     assign = rng.integers(0, n_clusters, size=corpus_size)
-    corpus = centers[assign] + noise * tnoise((corpus_size, dim))
+    if corpus_size <= 2_000_000:
+        corpus = centers[assign] + noise * tnoise((corpus_size, dim))
+    else:
+        # chunked fill: one ``standard_t`` draw materializes an f64
+        # intermediate (2x corpus bytes) plus the gathered-centers copy —
+        # at 8M x 768 the one-shot form peaked ~100 GB of host RAM and
+        # the generation was OOM-killed.  The chunked stream consumes the
+        # same variates in the same order; small sizes keep the one-shot
+        # path so their cached corpora stay byte-identical.
+        corpus = np.empty((corpus_size, dim), np.float32)
+        CH = 1 << 20
+        for s in range(0, corpus_size, CH):
+            n = min(CH, corpus_size - s)
+            corpus[s:s + n] = centers[assign[s:s + n]] \
+                + noise * tnoise((n, dim))
 
     # anisotropy: same spectral shaping as synthetic_retrieval — a few
     # dominant directions (what PCA+ICA whitening is for)
@@ -338,10 +352,11 @@ def synthetic_retrieval_hard(corpus_size: int = 10000,
         radius = np.repeat(qscale[dup_t] * r_group, dup_group, axis=0)
         corpus[slots] = corpus[src] + radius * tnoise((n_dup_rows, dim))
 
-    corpus = corpus * scales[None, :]
+    corpus *= scales[None, :]     # in-place: no second corpus-size copy
     queries = queries * scales[None, :]
     return SyntheticEmbeddings(
-        corpus.astype(np.float32), queries.astype(np.float32),
+        corpus.astype(np.float32, copy=False),
+        queries.astype(np.float32, copy=False),
         target_ids.astype(np.int64), f"synthhard_c{corpus_size}_d{dim}"
     )
 

@@ -611,7 +611,13 @@ def backstop_topk(wemb: jnp.ndarray, half_norm2: jnp.ndarray,
     s = jnp.where(col < n_valid, s, -jnp.inf)
     c = min(c, s.shape[1])
     if approx and c < s.shape[1]:
-        top, pos = jax.lax.approx_max_k(s, c, recall_target=recall_target)
+        if s.shape[1] >= _GROUPED_POOL_MIN_COLS and c <= s.shape[1] // _GROUP:
+            # same two-level pool trick as fused_query_topk (the
+            # approx_max_k partial reduce dominates at 1M+ columns)
+            top, pos = grouped_pool_topk(s, c)
+        else:
+            top, pos = jax.lax.approx_max_k(s, c,
+                                            recall_target=recall_target)
     else:
         top, pos = jax.lax.top_k(s, c)
     return top, pos
@@ -1338,6 +1344,51 @@ def fused_scores(fidx: FusedIndex, queries: jnp.ndarray,
     return s.astype(jnp.dtype(score_dtype))
 
 
+# Column count above which the pool-selection paths switch from
+# jax.lax.approx_max_k to the strided two-level reduction below: at
+# (1024, 1.5M) the approx_max_k partial reduce alone measures ~30 ms of a
+# ~40 ms sweep (wrapper.py fused_score_dtype note) — ~4x the pure HBM
+# read it fronts — while grouped_pool_topk's pass 1 is a plain VPU
+# max/argmax at streaming bandwidth.  Below this size the partial reduce
+# is already cheap and approx_max_k's guarantees are simpler.
+_GROUPED_POOL_MIN_COLS = 1 << 18
+_GROUP = 16
+
+
+def grouped_pool_topk(scores: jnp.ndarray, k: int, group: int = _GROUP):
+    """Candidate-POOL top-k via a strided two-level reduction.
+
+    Pass 1 views the (B, Sp) scores as ``group`` interleaved column
+    blocks — column i of the reduced matrix covers ids
+    ``{i, i + Sp/g, i + 2*Sp/g, ...}`` — and takes max+argmax over the
+    block axis (ONE streaming pass, no sorting network).  Pass 2 runs the
+    ordinary top-k on the ``group``-times-smaller reduced matrix and maps
+    winners back through the argmax.
+
+    Pool-membership contract (NOT an exact top-k): a true top-k id is
+    dropped only when a strictly higher-scoring id shares its strided
+    group — probability ~rank/(Sp/g) per candidate (~1e-3 at 1M for the
+    ranks that matter), measured overlap vs exact top-k > 0.995.  The
+    STRIDE matters: near-duplicate clusters sit on ADJACENT sentence ids
+    (insert order), so contiguous grouping would collapse whole dup
+    groups into one survivor — exactly the ids the hard regime needs in
+    the pool.  Downstream exact re-rank restores final order, same as
+    the approx_max_k path it replaces."""
+    B, Sp = scores.shape
+    g = group
+    while Sp % g:       # Sp is _FUSED_ROW_BUCKET-aligned; degrade safely
+        g //= 2
+    if g <= 1 or k >= Sp // g:
+        return jax.lax.top_k(scores, min(k, Sp))
+    cols = Sp // g
+    view = scores.reshape(B, g, cols)
+    gmax = jnp.max(view, axis=1)                       # (B, cols)
+    garg = jnp.argmax(view, axis=1).astype(jnp.int32)  # block index j
+    top, pos = jax.lax.top_k(gmax, k)                  # pos = column i
+    ids = jnp.take_along_axis(garg, pos, axis=1) * cols + pos
+    return top, ids
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "approx", "recall_target",
                                     "score_dtype"))
@@ -1346,8 +1397,10 @@ def fused_query_topk(fidx: FusedIndex, queries: jnp.ndarray, k: int,
                      score_dtype: str = "float32"):
     """Batched top-k over the fused scores -> (scores, sentence ids).
     Positions ARE sentence ids (identity row order); ``approx`` selects
-    the candidate pool with ``jax.lax.approx_max_k`` (see
-    ``blocked_query_topk`` for when that is the right trade).
+    the candidate pool approximately — ``grouped_pool_topk`` above
+    ``_GROUPED_POOL_MIN_COLS`` columns (where approx_max_k's partial
+    reduce dominates the whole sweep), ``jax.lax.approx_max_k`` below
+    (see ``blocked_query_topk`` for when that is the right trade).
     ``score_dtype="bfloat16"`` halves the dominant HBM term at scale —
     pool-selection paths only (see ``fused_scores``); returned scores
     are upcast f32."""
@@ -1355,8 +1408,11 @@ def fused_query_topk(fidx: FusedIndex, queries: jnp.ndarray, k: int,
     Sp = scores.shape[1]
     k = min(k, Sp)
     if approx and k < Sp:
-        top, pos = jax.lax.approx_max_k(scores, k,
-                                        recall_target=recall_target)
+        if Sp >= _GROUPED_POOL_MIN_COLS and k <= Sp // _GROUP:
+            top, pos = grouped_pool_topk(scores, k)
+        else:
+            top, pos = jax.lax.approx_max_k(scores, k,
+                                            recall_target=recall_target)
     else:
         top, pos = jax.lax.top_k(scores, k)
     return top.astype(jnp.float32), pos

@@ -107,14 +107,20 @@ def init_state(capacity: int, dim: int, fanout: int) -> TreeState:
 
 
 def _node_stats(st: TreeState, idx) -> GaussStats:
-    return GaussStats(st.counts[idx], st.means[idx], st.m2s[idx])
+    # upcast: the state MAY be stats-compressed (bf16 at rest, see
+    # compress_stats) — all descent/scoring math stays f32
+    return GaussStats(st.counts[idx],
+                      st.means[idx].astype(jnp.float32),
+                      st.m2s[idx].astype(jnp.float32))
 
 
 def _gather_stats(st: TreeState, idxs) -> GaussStats:
     """Gather a fanout block of child stats; invalid (-1) lanes read slot 0 but
     are masked by callers."""
     safe = jnp.maximum(idxs, 0)
-    return GaussStats(st.counts[safe], st.means[safe], st.m2s[safe])
+    return GaussStats(st.counts[safe],
+                      st.means[safe].astype(jnp.float32),
+                      st.m2s[safe].astype(jnp.float32))
 
 
 
@@ -454,8 +460,10 @@ def _apply_delta_data(st: TreeState, d: Delta) -> TreeState:
     sidx = jnp.where(d.stat_idx >= 0, d.stat_idx, cap)
     st = st._replace(
         counts=st.counts.at[sidx].set(d.stat_count, mode="drop"),
-        means=st.means.at[sidx].set(d.stat_mean, mode="drop"),
-        m2s=st.m2s.at[sidx].set(d.stat_m2, mode="drop"),
+        means=st.means.at[sidx].set(
+            d.stat_mean.astype(st.means.dtype), mode="drop"),
+        m2s=st.m2s.at[sidx].set(
+            d.stat_m2.astype(st.m2s.dtype), mode="drop"),
     )
     cidx = jnp.where(d.crow_idx >= 0, d.crow_idx, cap)
     st = st._replace(
@@ -649,9 +657,11 @@ def _apply_dbuf_batched(st: TreeState, dbuf: Delta, steps) -> TreeState:
         counts=st.counts.at[si].set(dbuf.stat_count.reshape(-1),
                                     mode="drop"),
         means=st.means.at[si].set(
-            dbuf.stat_mean.reshape(3 * S, -1), mode="drop"),
+            dbuf.stat_mean.reshape(3 * S, -1).astype(st.means.dtype),
+            mode="drop"),
         m2s=st.m2s.at[si].set(
-            dbuf.stat_m2.reshape(3 * S, -1), mode="drop"),
+            dbuf.stat_m2.reshape(3 * S, -1).astype(st.m2s.dtype),
+            mode="drop"),
     )
     ci = last_wins(dbuf.crow_idx, ok)
     st = st._replace(
@@ -756,8 +766,10 @@ class CobwebTree:
         pad = new_cap - st.capacity
         self.state = TreeState(
             counts=jnp.concatenate([st.counts, jnp.zeros((pad,), jnp.float32)]),
-            means=jnp.concatenate([st.means, jnp.zeros((pad, st.dim), jnp.float32)]),
-            m2s=jnp.concatenate([st.m2s, jnp.zeros((pad, st.dim), jnp.float32)]),
+            means=jnp.concatenate(
+                [st.means, jnp.zeros((pad, st.dim), st.means.dtype)]),
+            m2s=jnp.concatenate(
+                [st.m2s, jnp.zeros((pad, st.dim), st.m2s.dtype)]),
             parent=jnp.concatenate([st.parent, jnp.full((pad,), NULL, jnp.int32)]),
             children=jnp.concatenate(
                 [st.children, jnp.full((pad, st.fanout), NULL, jnp.int32)]
@@ -856,7 +868,11 @@ class CobwebTree:
     # -- inspection ---------------------------------------------------------
     def _host_arrays(self):
         st = self.state
-        return jax.tree.map(np.asarray, st)
+        st = jax.tree.map(np.asarray, st)
+        if st.means.dtype != np.float32:   # stats-compressed state
+            st = st._replace(means=st.means.astype(np.float32),
+                             m2s=st.m2s.astype(np.float32))
+        return st
 
     def node_var(self, idx: int) -> np.ndarray:
         st = self.state

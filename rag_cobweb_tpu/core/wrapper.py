@@ -266,6 +266,10 @@ class CobwebIndex:
         self._vec_chunks: list = []
         self._emb_dev_cache = None
         self._emb_dev_n = 0
+        # device dtype of the exact re-rank store ("float32" default;
+        # "bfloat16" halves it for 8M-scale serving — distances still
+        # computed f32, only the stored row is rounded)
+        self.emb_store_dtype = "float32"
         # whitener mode: a SECOND, bf16 store of the whitened (tree-space)
         # rows backs the proximity backstop pool (see _product_chunked);
         # ~S*Dw*2 bytes (256 MB at 1M x 128)
@@ -299,9 +303,41 @@ class CobwebIndex:
             if cap > n:
                 host = np.concatenate(
                     [host, np.zeros((cap - n, host.shape[1]), host.dtype)])
+            if self.emb_store_dtype != "float32":
+                # compressed re-rank store (serve-time option at 8M+: the
+                # f32 whitened store alone is 4.1 GB; bf16 halves it).
+                # The exact re-rank gathers rows and computes distances in
+                # f32 (promotion) — only the stored ROW is rounded, a
+                # ~2^-9 relative shift on the distance; the gather stage
+                # is row-RATE-limited so bytes don't change its speed.
+                import ml_dtypes
+                host = np.asarray(host, getattr(ml_dtypes,
+                                                self.emb_store_dtype))
             self._emb_dev_cache = jnp.asarray(host)
             self._emb_dev_n = n
         return self._emb_dev_cache
+
+    def compress_stats(self, dtype=None):
+        """Forest-state stats compression (see VForest.compress_stats) +
+        serving-cache invalidation, so downstream index builds read the
+        compressed stats."""
+        if self.forest is None:
+            st = self.tree.state
+            target = jnp.bfloat16 if dtype is None else jnp.dtype(dtype)
+            if st.means.dtype != target:
+                self.tree.state = st._replace(
+                    means=st.means.astype(target),
+                    m2s=st.m2s.astype(target))
+        else:
+            self.forest.compress_stats(dtype)
+        self._invalidate_index()
+
+    def offload_state(self):
+        """Serve-only mode: move the forest state to host (see
+        VForest.offload_state) once the serving index exists — at 8M the
+        f32 state is ~13 GB of the 16 GB chip."""
+        if self.forest is not None:
+            self.forest.offload_state()
 
     def _wemb_device(self):
         """(cap, Dw) whitened store + (cap,) f32 half-norms on device, or

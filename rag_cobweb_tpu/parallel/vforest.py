@@ -446,6 +446,53 @@ class VForest:
         self._struct_snap = None
         self._centroids_dev = None
 
+    def compress_stats(self, dtype=None):
+        """AT-REST stats compression: cast means/m2s to bf16 in place
+        (donated — no second full-state replica at 8M scale).  means+m2s
+        are ~92% of the state bytes (6.3 GB of 6.8 GB f32 at 4M), so this
+        roughly halves the resident state — the HBM headroom that lets the
+        8M fused-index build (GT ~6 GB) coexist with the state on one v5e.
+
+        Compression is AFTER-build by design: bf16 STORAGE during Welford
+        accumulation silently freezes node statistics once per-insert
+        increments fall under the bf16 rounding threshold (count >~512 —
+        measured in tests/test_compress.py::test_bf16_welford_accumulation
+        _breaks), whereas one rounding of the final statistics shifts
+        scores by ~2^-9 relative.  Further ``add`` calls still WORK on a
+        compressed state (the descent math upcasts and re-rounds on write,
+        and new insert programs compile for the bf16 state shape) but pay
+        that accumulation bias — compress at a build/serve boundary.
+        Downstream index builds (fused / flatten / blocked) read the
+        compressed stats and upcast in-kernel."""
+        import ml_dtypes  # noqa: F401  (bf16 numpy views downstream)
+
+        dtype = jnp.bfloat16 if dtype is None else jnp.dtype(dtype)
+        st = self.state
+        if st.means.dtype == dtype:
+            return
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _cast(a):
+            return a.astype(dtype)
+
+        self.state = st._replace(means=_cast(st.means),
+                                 m2s=_cast(st.m2s))
+        self._centroids_dev = None
+
+    def offload_state(self):
+        """Move the whole forest state to HOST memory and drop the device
+        replica — the serve-only step after the serving index is built
+        (fused-only serving reads GT/c/valid + the embedding stores, never
+        the state).  At 8M the f32 state is ~13 GB of the 16 GB chip; the
+        index build + serving working set needs that space.  Further adds/
+        index rebuilds re-upload lazily via jnp.asarray (numpy state
+        arrays are valid jax inputs), so this is transparent to
+        correctness — it trades a re-upload for HBM headroom."""
+        self.state = jax.tree.map(
+            lambda a: np.asarray(jax.device_get(a)), self.state)
+        self._struct_snap = None
+        self._centroids_dev = None
+
     def warmup_insert_programs(self, n_total: int,
                                budgets: tuple = ()) -> float:
         """Pre-compile the insert programs an ``add(n_total)`` will hit,

@@ -76,6 +76,17 @@ def main():
                         "the forest state), and at 4M the flat (D, N) "
                         "stats arrays alone are ~5 GB next to a ~9 GB "
                         "forest state")
+    p.add_argument("--compress-stats", action="store_true",
+                   help="cast forest means/m2s to bf16 AFTER the build "
+                        "(at-rest compression, ~halves the state — the "
+                        "8M enabler; see VForest.compress_stats)")
+    p.add_argument("--emb-bf16", action="store_true",
+                   help="bf16 exact re-rank store (halves the stored-"
+                        "embedding HBM; distances still computed f32)")
+    p.add_argument("--offload-state", action="store_true",
+                   help="move the forest state to host after the serving "
+                        "index is built (fused-only serving never reads "
+                        "it; at 8M the state is ~13 GB of the chip)")
     p.add_argument("--gen-only", action="store_true",
                    help="write the whitened data cache and exit (lets the "
                         "single-core generation run ahead of timed builds)")
@@ -199,6 +210,8 @@ def main():
     db = CobwebIndex(config=TreeConfig(dim=D),
                      capacity=K * max(2048, slots // K + 64),
                      n_subtrees=K, seed=0, whitener=whitener)
+    if args.emb_bf16:
+        db.emb_store_dtype = "bfloat16"
     if args.backstop >= 0:
         db.backstop_pool = args.backstop
     if args.score_budget:
@@ -253,6 +266,13 @@ def main():
         prev = results[-1]["size"] if results else 0
         rate = (size - prev) / build_s if build_s > 0 else 0
 
+        if args.compress_stats:
+            t0 = time.perf_counter()
+            db.compress_stats()
+            jax.block_until_ready(db.forest.state.means)
+            print(f"[1m] stats compressed to bf16: "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
+
         if args.fused_only:
             args.no_blocked = True
         os.environ["RAG_COBWEB_TPU_INDEX_TIMING"] = "1"
@@ -274,6 +294,15 @@ def main():
         fidx = db._fused_index()
         fidx.c.block_until_ready()
         fused_s = time.perf_counter() - t0
+        if args.offload_state:
+            # serve-only: fused serving never reads the state; freeing it
+            # is what fits 8M serving (emb stores + score workspace) on
+            # one chip.  Only sensible with --fused-only (the flat/blocked
+            # builds would re-upload it).
+            t0 = time.perf_counter()
+            db.offload_state()
+            print(f"[1m] state offloaded to host: "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
         row_extra = {"fused_build_s": round(fused_s, 2),
                      "fused_index_mb": round(
                          fidx.GT.nbytes / 1e6 + fidx.c.nbytes / 1e6, 1)}

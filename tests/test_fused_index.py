@@ -45,6 +45,32 @@ def test_fused_scores_match_rank_scores(built):
     assert np.all(got[:, S:] == -np.inf)
 
 
+def test_grouped_pool_topk_membership():
+    """The strided two-level pool (index.grouped_pool_topk): near-exact
+    top-k membership on random scores, and NO loss on adjacent-id
+    near-duplicate clusters (the case contiguous grouping would break —
+    dup clusters sit on adjacent sentence ids)."""
+    rng = np.random.default_rng(0)
+    B, Sp, k = 4, 1 << 19, 512
+    scores = rng.normal(size=(B, Sp)).astype(np.float32)
+    # plant an adjacent cluster of 64 dominant ids per row
+    j0 = 12345
+    scores[:, j0:j0 + 64] += 20.0
+    top, ids = index_mod.grouped_pool_topk(jnp.asarray(scores), k)
+    ids = np.asarray(ids)
+    exact = np.argsort(-scores, axis=1)[:, :k]
+    for b in range(B):
+        got = set(ids[b].tolist())
+        # every planted adjacent id is in the pool (strided groups)
+        assert all(j in got for j in range(j0, j0 + 64))
+        # overall membership vs exact top-k
+        overlap = len(got & set(exact[b].tolist())) / k
+        assert overlap >= 0.99
+        # returned scores are the true scores of the returned ids
+        np.testing.assert_allclose(np.asarray(top)[b],
+                                   scores[b, ids[b]], rtol=0, atol=0)
+
+
 def test_fused_query_topk_agrees(built):
     tree, idx, xs, leaves = built
     fidx = index_mod.build_fused_index(idx)
