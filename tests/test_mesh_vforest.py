@@ -88,6 +88,28 @@ def test_composed_recall_close_to_single_tree(mvf, data):
     assert r_mesh >= r_tree - 0.1, (r_mesh, r_tree)
 
 
+def test_composed_deep_descent_escalates(data, monkeypatch):
+    """ADVICE r4: descents past the composed layout's deep budget must
+    escalate to the per-lane exact path (the single-device VForest rule)
+    instead of aborting mid-batch.  A tiny budget forces EVERY mature
+    descent over it; the distinct dim keys a fresh _mesh_vinsert cache
+    entry so the patched budget is actually traced in."""
+    from rag_cobweb_tpu.parallel import vforest as vf
+
+    monkeypatch.setattr(vf, "_DEEP_STEPS", 3)
+    xs = np.repeat(data[:4], 24, axis=0).astype(np.float32)
+    xs = np.ascontiguousarray(xs[:, :12])     # dim 12 -> fresh jit cache
+    xs += 0.001 * np.random.default_rng(2).normal(
+        size=xs.shape).astype(np.float32)     # near-dup fringe chains
+    f = MeshVForest(TreeConfig(dim=12), lanes_per_shard=1,
+                    capacity_per_lane=512, seed=0)
+    gids = f.add(xs)                           # must NOT raise
+    assert len(gids) == len(xs)
+    # every instance landed on a real leaf and is retrievable
+    _, got = f.query_topk(xs[:4], k=4)
+    assert (got >= 0).any(axis=1).all()
+
+
 def test_composed_incremental_add(data):
     f = MeshVForest(TreeConfig(dim=16), lanes_per_shard=2,
                     capacity_per_lane=256, seed=0)
