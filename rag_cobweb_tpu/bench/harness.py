@@ -187,11 +187,20 @@ class BenchmarkRunner:
                       f"{time.perf_counter()-t0:.1f}s")
             return dbs[key]
 
+        # relay-weather controls (VERDICT r4 #5), one per query space —
+        # a tiny exact scan probed inside each row's measurement window;
+        # >90 ms/batch vs the ~30 ms dispatch floor = degraded relay ->
+        # evaluate_retrieval re-measures that row once
+        ctrl = {
+            "raw": baselines.make_flat_retriever(
+                corpus_embs[:10000], "l2"),
+            "w": baselines.make_flat_retriever(corpus_w[:10000], "l2"),
+        }
         for m in methods:
             try:
                 res = self._run_method(
                     m, corpus_embs, query_embs, corpus_w, query_w,
-                    target_ids, top_k, batch_size, get_db,
+                    target_ids, top_k, batch_size, get_db, ctrl,
                 )
             except ImportError as e:
                 print(f"[skip] {m}: {e}")
@@ -209,8 +218,15 @@ class BenchmarkRunner:
         return results
 
     def _run_method(self, m, corpus_embs, query_embs, corpus_w, query_w,
-                    target_ids, top_k, batch_size, get_db):
-        M = metrics.evaluate_retrieval
+                    target_ids, top_k, batch_size, get_db, ctrl=None):
+        def M(name, r, qq, gg, tk, bs, space="raw"):
+            # every timed row carries the in-window weather control for
+            # its own query space (+ one auto re-measure when degraded)
+            return metrics.evaluate_retrieval(
+                name, r, qq, gg, tk, bs,
+                control_fn=(ctrl or {}).get(space),
+                control_threshold_ms=90.0 if ctrl else None)
+
         if m == "flat_ip":
             r = baselines.make_flat_retriever(corpus_embs, "ip")
             return M("Flat IP (TPU)", r, query_embs, target_ids, top_k,
@@ -222,20 +238,22 @@ class BenchmarkRunner:
         if m == "flat_ip_pca":
             r = baselines.make_flat_retriever(corpus_w, "ip")
             return M("Flat IP PCA+ICA (TPU)", r, query_w, target_ids, top_k,
-                     batch_size)
+                     batch_size, space="w")
         if m in ("hnsw", "hnsw_pca"):
             embs = corpus_w if m.endswith("pca") else corpus_embs
             q = query_w if m.endswith("pca") else query_embs
             tag = " PCA+ICA" if m.endswith("pca") else ""
             if baselines.hnswlib_available():
                 r = baselines.make_hnswlib_retriever(embs)
-                return M("HNSWlib" + tag, r, q, target_ids, top_k, batch_size)
+                return M("HNSWlib" + tag, r, q, target_ids, top_k,
+                         batch_size, space="w" if m.endswith("pca")
+                         else "raw")
             from rag_cobweb_tpu.bench import native
             if not native.available():
                 raise ImportError("neither hnswlib nor native annlib present")
             r = native.make_native_hnsw_retriever(embs)
             return M("HNSW (native C++)" + tag, r, q, target_ids, top_k,
-                     batch_size)
+                     batch_size, space="w" if m.endswith("pca") else "raw")
         if m == "flat_cpu":
             from rag_cobweb_tpu.bench import native
             if not native.available():
@@ -271,7 +289,7 @@ class BenchmarkRunner:
                 name = ("Cobweb PCA+ICA (beam)" if whitened
                         else "Cobweb Basic (beam)")
             return M(name + " (TPU)", retrieve, q, target_ids, top_k,
-                     batch_size)
+                     batch_size, space="w" if whitened else "raw")
         raise ValueError(f"unknown method {m}")
 
     # -------------------- CLI --------------------
