@@ -39,6 +39,19 @@ GATHER_ROW_OVERHEAD_S = 25e-9
 GATHER_BW = 170e9
 V5E_GATHER_ROWS_PER_S = 21e6   # legacy single-point constant (kept for
 #                                width-unknown callers)
+# Measured top-k SELECTION rate: jax.lax.approx_max_k over a (B, S) f32
+# score matrix processes ~38G score elements/s on v5e (pipeline_probe r5:
+# ~28 ms of the 38 ms sweep+pool at 1024 x 1.05M; the round-4 wrapper
+# note measured the same ~30 of ~40 ms).  Every candidate-pool path must
+# stream + select over its scores, so the composite bound charges the
+# score READ at this measured rate (the plain write stays on the HBM
+# stage) — the round-4 model omitted it, which is most of why the
+# recorded runs sat at 0.41-0.58 of the old bound.  Alternatives were
+# measured and lost: a strided two-level max reduction
+# (index.grouped_pool_topk) ran 1.5x SLOWER end-to-end despite better
+# pool quality (probe r5: 130.5 vs 84.8 ms/batch; overlap-vs-exact-pool
+# 0.933 vs 0.842), and exact lax.top_k is the r3 "5x the matmuls" cliff.
+APPROX_TOPK_ELEMS_PER_S = 38e9
 
 
 def gather_time_s(rows: float, row_bytes: float) -> float:
@@ -155,22 +168,30 @@ def product_path_model(B: int, Sp: int, D_tree: int, C: int, D_store: int,
     path instead of the sweep alone is what makes the e2e roofline
     fraction meaningful (VERDICT r3 #6)."""
     stage_times = {}
-    # fused sweep (+ whiten folded in — it is negligible next to it)
+    # fused sweep (+ whiten folded in — it is negligible next to it).
+    # Scores are charged ONCE here (the GEMM's write); their read happens
+    # inside the measured-rate selection pass below.
     sweep_flops = 2.0 * B * Sp * 2 * D_tree
-    sweep_hbm = 2.0 * D_tree * Sp * gt_dtype_bytes + 2.0 * B * Sp * 4
+    sweep_hbm = 2.0 * D_tree * Sp * gt_dtype_bytes + B * Sp * 4
     flops, hbm = sweep_flops, sweep_hbm
     if d_raw:
         flops += 2.0 * B * d_raw * D_tree
         hbm += d_raw * D_tree * 4 + B * (d_raw + D_tree) * 4
     stage_times["HBM"] = max(flops / V5E_PEAK_F32, hbm / V5E_HBM_BW)
-    # backstop pool: one (B, D_tree) x (D_tree, Sp) GEMM + f32 scores
+    # candidate-pool selection over the (B, Sp) scores at the measured
+    # approx_max_k rate (round-5 refinement; see APPROX_TOPK_ELEMS_PER_S)
+    stage_times["POOL"] = B * Sp / APPROX_TOPK_ELEMS_PER_S
+    hbm += B * Sp * 4
+    # backstop pool: one (B, D_tree) x (D_tree, Sp) GEMM + its own
+    # score write + selection pass
     if backstop:
         bs_flops = 2.0 * B * Sp * D_tree
-        bs_hbm = D_tree * Sp * 2 + 2.0 * B * Sp * 4
+        bs_hbm = D_tree * Sp * 2 + B * Sp * 4
         flops += bs_flops
-        hbm += bs_hbm
-        stage_times["BACKSTOP"] = max(bs_flops / V5E_PEAK_F32,
-                                      bs_hbm / V5E_HBM_BW)
+        hbm += bs_hbm + B * Sp * 4
+        stage_times["BACKSTOP"] = max(
+            bs_flops / V5E_PEAK_F32, bs_hbm / V5E_HBM_BW
+        ) + B * Sp / APPROX_TOPK_ELEMS_PER_S
     # exact re-rank: gather `pool` stored rows per query + distance + topk
     pool = C + (backstop or 0)
     rr_flops = 3.0 * B * pool * D_store

@@ -1344,14 +1344,17 @@ def fused_scores(fidx: FusedIndex, queries: jnp.ndarray,
     return s.astype(jnp.dtype(score_dtype))
 
 
-# Column count above which the pool-selection paths switch from
-# jax.lax.approx_max_k to the strided two-level reduction below: at
-# (1024, 1.5M) the approx_max_k partial reduce alone measures ~30 ms of a
-# ~40 ms sweep (wrapper.py fused_score_dtype note) — ~4x the pure HBM
-# read it fronts — while grouped_pool_topk's pass 1 is a plain VPU
-# max/argmax at streaming bandwidth.  Below this size the partial reduce
-# is already cheap and approx_max_k's guarantees are simpler.
-_GROUPED_POOL_MIN_COLS = 1 << 18
+# Column count above which the pool-selection paths would switch from
+# jax.lax.approx_max_k to the strided two-level reduction below.
+# MEASURED NEGATIVE RESULT (pipeline_probe r5, 1M/B=1024): the grouped
+# formulation lowers ~1.5x SLOWER end-to-end than approx_max_k (130.5 vs
+# 84.8 ms/batch) in BOTH the max+argmax and the packed-uint single-max
+# variants, even though its pool quality is measurably better
+# (overlap-vs-exact-pool 0.933 vs approx's 0.842) — the strided
+# middle-axis reduction over the GEMM output forces a bad layout on this
+# compiler.  Disabled by default (threshold unreachable); kept selectable
+# for other backends and as the recorded alternative.
+_GROUPED_POOL_MIN_COLS = 1 << 62
 _GROUP = 16
 
 
@@ -1381,11 +1384,30 @@ def grouped_pool_topk(scores: jnp.ndarray, k: int, group: int = _GROUP):
     if g <= 1 or k >= Sp // g:
         return jax.lax.top_k(scores, min(k, Sp))
     cols = Sp // g
-    view = scores.reshape(B, g, cols)
-    gmax = jnp.max(view, axis=1)                       # (B, cols)
-    garg = jnp.argmax(view, axis=1).astype(jnp.int32)  # block index j
-    top, pos = jax.lax.top_k(gmax, k)                  # pos = column i
-    ids = jnp.take_along_axis(garg, pos, axis=1) * cols + pos
+    view = scores.astype(jnp.float32).reshape(B, g, cols)
+    # Pass 1 is a PLAIN max over a packed uint32 key — NOT max+argmax:
+    # the variadic (value, index) reduce lowered ~70 ms slower than the
+    # whole approx_max_k it was replacing (probe round-5 run 1), and the
+    # f32 top-k in pass 2 must not be lax.top_k either (full sorting
+    # network, the r3 "top_k costs 5x the matmuls" lesson; probe run 2).
+    # Pack: monotone-map f32 -> uint32 (sign-flip trick), zero the low
+    # log2(g) mantissa bits (relative error 2^-19 — irrelevant for pool
+    # selection), put the group-member index j there; one uint max then
+    # recovers BOTH the (quantized) max score and its member.  A second
+    # plain f32 max feeds pass 2's approx_max_k with clean floats (the
+    # two sibling reduces fuse into one streaming pass over the scores).
+    u = jax.lax.bitcast_convert_type(view, jnp.uint32)
+    neg = (u >> 31) == 1
+    u = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+    jbits = jnp.uint32(g - 1)
+    j = jax.lax.broadcasted_iota(jnp.uint32, (B, g, cols), 1)
+    packed = (u & ~jbits) | j
+    pmax = jnp.max(packed, axis=1)                     # (B, cols)
+    gmax = jnp.max(view, axis=1)                       # (B, cols) f32
+    top, pos = jax.lax.approx_max_k(gmax, k, recall_target=0.95)
+    jsel = (jnp.take_along_axis(pmax, pos, axis=1) & jbits).astype(
+        jnp.int32)
+    ids = jsel * cols + pos
     return top, ids
 
 

@@ -76,6 +76,14 @@ def main():
                         "the forest state), and at 4M the flat (D, N) "
                         "stats arrays alone are ~5 GB next to a ~9 GB "
                         "forest state")
+    p.add_argument("--score-dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="materialized sweep-score dtype (wrapper "
+                        "fused_score_dtype).  bf16 halves the dominant "
+                        "(B, Sp) score HBM term; with the grouped pool "
+                        "(which replaced the approx_max_k partial reduce "
+                        "whose bf16 lowering was slow) this is worth "
+                        "re-measuring at 8M")
     p.add_argument("--compress-stats", action="store_true",
                    help="cast forest means/m2s to bf16 AFTER the build "
                         "(at-rest compression, ~halves the state — the "
@@ -212,6 +220,8 @@ def main():
                      n_subtrees=K, seed=0, whitener=whitener)
     if args.emb_bf16:
         db.emb_store_dtype = "bfloat16"
+    if args.score_dtype:
+        db.fused_score_dtype = args.score_dtype
     if args.backstop >= 0:
         db.backstop_pool = args.backstop
     if args.score_budget:

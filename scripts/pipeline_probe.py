@@ -141,6 +141,23 @@ def main():
     print(f"[probe] grouped vs approx top-{k} overlap "
           f"{rows['pool_top10_overlap']:.4f}", flush=True)
 
+    # pool-quality referee: both approximate pools vs the EXACT top-k
+    # pool (identical exact re-rank downstream, so differences are pure
+    # pool membership)
+    db.approx_pool = False
+    ids_e = np.asarray(db.query_ids(queries[:B], k, rerank=pool))
+    db.approx_pool = True
+
+    def ovl(a, b):
+        return float(np.mean([len(set(x) & set(y)) / k
+                              for x, y in zip(a.tolist(), b.tolist())]))
+
+    rows["grouped_vs_exactpool"] = ovl(ids_g, ids_e)
+    rows["approx_vs_exactpool"] = ovl(ids_a, ids_e)
+    print(f"[probe] vs exact pool: grouped "
+          f"{rows['grouped_vs_exactpool']:.4f} approx "
+          f"{rows['approx_vs_exactpool']:.4f}", flush=True)
+
     # ---- split two-program path, interleaved across 4 sub-chunks ----
     sub = B // 4
 
@@ -195,8 +212,10 @@ def main():
     record("stage_rerank_only",
            lambda qb: rerank(jnp.asarray(qb), cs0, cand0))
 
-    gather = jax.jit(lambda c: jnp.sum(emb[c], axis=(1, 2)))
-    record("stage_gather_only", lambda qb: gather(cand0))
+    # emb passed as an ARGUMENT: a closure constant ships the whole store
+    # to the remote compile service (HTTP 413 — CLAUDE.md r3 lesson)
+    gather = jax.jit(lambda e, c: jnp.sum(e[c], axis=(1, 2)))
+    record("stage_gather_only", lambda qb: gather(emb, cand0))
 
     # ---- small-batch honesty sweep (VERDICT r4 #7, 1M half): the
     # ~25-30 ms relay dispatch floor dominates tiny batches ----
