@@ -39,19 +39,23 @@ GATHER_ROW_OVERHEAD_S = 25e-9
 GATHER_BW = 170e9
 V5E_GATHER_ROWS_PER_S = 21e6   # legacy single-point constant (kept for
 #                                width-unknown callers)
-# Measured top-k SELECTION rate: jax.lax.approx_max_k over a (B, S) f32
-# score matrix processes ~38G score elements/s on v5e (pipeline_probe r5:
-# ~28 ms of the 38 ms sweep+pool at 1024 x 1.05M; the round-4 wrapper
-# note measured the same ~30 of ~40 ms).  Every candidate-pool path must
-# stream + select over its scores, so the composite bound charges the
-# score READ at this measured rate (the plain write stays on the HBM
-# stage) — the round-4 model omitted it, which is most of why the
-# recorded runs sat at 0.41-0.58 of the old bound.  Alternatives were
-# measured and lost: a strided two-level max reduction
-# (index.grouped_pool_topk) ran 1.5x SLOWER end-to-end despite better
-# pool quality (probe r5: 130.5 vs 84.8 ms/batch; overlap-vs-exact-pool
-# 0.933 vs 0.842), and exact lax.top_k is the r3 "5x the matmuls" cliff.
-APPROX_TOPK_ELEMS_PER_S = 38e9
+# Candidate-pool selection: every pool path must READ its (B, S) score
+# matrix a second time and run a selection network over it.  The round-4
+# composite omitted that read entirely (it max()'d into the sweep's HBM
+# term), which is most of why recorded runs sat at 0.41-0.58 of the old
+# bound.  Round 5 charges it as its own sequential stage at full HBM
+# bandwidth — a true LOWER bound.  The measured approx_max_k pass also
+# carries a selection overhead BEYOND the read that scales with B x k
+# (pipeline_probe r5: ~23 ms beyond the 5.3 ms read at B=k=1024 over
+# 1.05M columns, i.e. ~22 ns per row-candidate; the 4M rows at B=k=512
+# measure a ~4x smaller overhead, consistent with that scaling) — that
+# overhead is documented here, not charged, so the bound never exceeds a
+# well-measured run.  Measured alternatives lost: the strided two-level
+# max reduction (index.grouped_pool_topk) lowered 1.5x slower end-to-end
+# despite better pool quality (130.5 vs 84.8 ms/batch;
+# overlap-vs-exact-pool 0.933 vs 0.842), and exact lax.top_k is the r3
+# "5x the matmuls" cliff.
+APPROX_TOPK_ROWK_OVERHEAD_S = 22e-9   # measured, documentation constant
 
 
 def gather_time_s(rows: float, row_bytes: float) -> float:
@@ -178,12 +182,14 @@ def product_path_model(B: int, Sp: int, D_tree: int, C: int, D_store: int,
         flops += 2.0 * B * d_raw * D_tree
         hbm += d_raw * D_tree * 4 + B * (d_raw + D_tree) * 4
     stage_times["HBM"] = max(flops / V5E_PEAK_F32, hbm / V5E_HBM_BW)
-    # candidate-pool selection over the (B, Sp) scores at the measured
-    # approx_max_k rate (round-5 refinement; see APPROX_TOPK_ELEMS_PER_S)
-    stage_times["POOL"] = B * Sp / APPROX_TOPK_ELEMS_PER_S
+    # candidate-pool selection: the second pass over the (B, Sp) scores,
+    # charged at full HBM bandwidth (round-5 refinement — a lower bound;
+    # the measured B x k selection overhead on top of the read is
+    # documented at APPROX_TOPK_ROWK_OVERHEAD_S, not charged)
+    stage_times["POOL"] = B * Sp * 4 / V5E_HBM_BW
     hbm += B * Sp * 4
     # backstop pool: one (B, D_tree) x (D_tree, Sp) GEMM + its own
-    # score write + selection pass
+    # score write + selection read
     if backstop:
         bs_flops = 2.0 * B * Sp * D_tree
         bs_hbm = D_tree * Sp * 2 + B * Sp * 4
@@ -191,7 +197,7 @@ def product_path_model(B: int, Sp: int, D_tree: int, C: int, D_store: int,
         hbm += bs_hbm + B * Sp * 4
         stage_times["BACKSTOP"] = max(
             bs_flops / V5E_PEAK_F32, bs_hbm / V5E_HBM_BW
-        ) + B * Sp / APPROX_TOPK_ELEMS_PER_S
+        ) + B * Sp * 4 / V5E_HBM_BW
     # exact re-rank: gather `pool` stored rows per query + distance + topk
     pool = C + (backstop or 0)
     rr_flops = 3.0 * B * pool * D_store
